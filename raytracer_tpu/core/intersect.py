@@ -1,0 +1,367 @@
+"""Batched ray-primitive intersection.
+
+The reference intersects one ray against one shape at a time through an
+enum dispatch (shapes.rs:204-246). Here a whole ray batch meets each
+primitive FAMILY at once:
+
+* quadric-ish families (sphere/plane/cube/cylinder/cone) transform the ray
+  batch into every primitive's object space with one batched matmul
+  (einsum -> MXU), then run the family's closed-form solve elementwise
+  (VPU);
+* triangles are pre-transformed to world space at compile time, so
+  Moller-Trumbore runs directly on the world rays, chunked through a
+  lax.scan that keeps a running top-k of nearest hits per ray (no [R, Nt]
+  materialization for big meshes).
+
+The result is a per-ray candidate table ``(t, gid, u, v)`` with +inf for
+misses, replacing the reference's BTreeMap-of-intersections
+(intersections.rs:66-73) with sorts/reductions.
+
+Oracle semantics carried over exactly: every local-intersect formula,
+epsilon guard and open/closed interval below mirrors the corresponding
+shapes/*.rs function cited inline.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.constants import EPSILON
+from raytracer_tpu.core import types as T
+from raytracer_tpu.core.csg import apply_csg
+
+INF = jnp.inf
+
+# Triangles per scan chunk (trade VMEM/HBM traffic vs. scan length).
+TRI_CHUNK = 256
+# Top-k nearest kept per ray for the "free" (non-CSG) triangle set.
+TRI_TOPK = 8
+
+
+def _local_rays(inv_tf, origins, directions):
+    """Transform ray batch into each primitive's object space.
+
+    inv_tf [N,4,4]; origins/directions [R,3] -> ([R,N,3], [R,N,3]).
+    Points use the translation column, vectors don't (rays.rs:19-24).
+    """
+    rot = inv_tf[:, :3, :3]                      # [N,3,3]
+    trans = inv_tf[:, :3, 3]                     # [N,3]
+    o = jnp.einsum("nij,rj->rni", rot, origins) + trans[None]
+    d = jnp.einsum("nij,rj->rni", rot, directions)
+    return o, d
+
+
+def _sphere_ts(o, d):
+    """sphere.rs:64-80; unit sphere at origin, 2 candidate ts."""
+    a = jnp.sum(d * d, -1)
+    b = 2.0 * jnp.sum(d * o, -1)
+    c = jnp.sum(o * o, -1) - 1.0
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b - sq) / (2.0 * a)
+    t2 = (-b + sq) / (2.0 * a)
+    return jnp.stack([jnp.where(ok, t1, INF), jnp.where(ok, t2, INF)], -1)
+
+
+def _plane_ts(o, d):
+    """plane.rs:66-73; xz-plane, parallel guard at EPSILON."""
+    ok = jnp.abs(d[..., 1]) >= EPSILON
+    t = -o[..., 1] / jnp.where(ok, d[..., 1], 1.0)
+    return jnp.where(ok, t, INF)[..., None]
+
+
+def check_axis(origin, direction, lo, hi):
+    """cube.rs:67-85 slab helper (shared with AABBs)."""
+    tmin_num = lo - origin
+    tmax_num = hi - origin
+    ok = jnp.abs(direction) >= EPSILON
+    safe_d = jnp.where(ok, direction, 1.0)
+    tmin = jnp.where(ok, tmin_num / safe_d, tmin_num * INF)
+    tmax = jnp.where(ok, tmax_num / safe_d, tmax_num * INF)
+    swap = tmin > tmax
+    return jnp.where(swap, tmax, tmin), jnp.where(swap, tmin, tmax)
+
+
+def _cube_ts(o, d):
+    """cube.rs:87-114; both slab ts (entry+exit), miss when tmin > tmax."""
+    xtmin, xtmax = check_axis(o[..., 0], d[..., 0], -1.0, 1.0)
+    ytmin, ytmax = check_axis(o[..., 1], d[..., 1], -1.0, 1.0)
+    ztmin, ztmax = check_axis(o[..., 2], d[..., 2], -1.0, 1.0)
+    tmin = jnp.maximum(jnp.maximum(xtmin, ytmin), ztmin)
+    tmax = jnp.minimum(jnp.minimum(xtmax, ytmax), ztmax)
+    ok = tmin <= tmax
+    return jnp.stack([jnp.where(ok, tmin, INF), jnp.where(ok, tmax, INF)], -1)
+
+
+def _cyl_ts(o, d, mn, mx, closed):
+    """cylinder.rs:95-156: body hits y-clipped to (min, max), plus caps.
+
+    4 candidate slots: body t0, body t1, lower cap, upper cap. (The
+    reference caps total intersections at 2, dropping a cap hit in the
+    degenerate body+2-caps case; we keep all real hits.)
+    """
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    a = dx * dx + dz * dz
+    parallel = jnp.abs(a) < EPSILON
+    b = 2.0 * (ox * dx + oz * dz)
+    c = ox * ox + oz * oz - 1.0
+    disc = b * b - 4.0 * a * c
+    ok = (~parallel) & (disc >= 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    den = jnp.where(parallel, 1.0, 2.0 * a)
+    t0 = (-b - sq) / den
+    t1 = (-b + sq) / den
+    y0 = oy + t0 * dy
+    y1 = oy + t1 * dy
+    body0 = jnp.where(ok & (mn < y0) & (y0 < mx), t0, INF)
+    body1 = jnp.where(ok & (mn < y1) & (y1 < mx), t1, INF)
+
+    cap_ok = closed & (jnp.abs(dy) >= EPSILON)
+    safe_dy = jnp.where(jnp.abs(dy) >= EPSILON, dy, 1.0)
+    tl = (mn - oy) / safe_dy
+    tu = (mx - oy) / safe_dy
+
+    def in_radius(t):
+        x = ox + t * dx
+        z = oz + t * dz
+        return x * x + z * z <= 1.0
+
+    capl = jnp.where(cap_ok & in_radius(tl), tl, INF)
+    capu = jnp.where(cap_ok & in_radius(tu), tu, INF)
+    return jnp.stack([body0, body1, capl, capu], -1)
+
+
+def _cone_ts(o, d, mn, mx, closed):
+    """cone.rs:123-165: double-napped cone, linear degenerate case, caps
+    with radius |y|."""
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    a = dx * dx - dy * dy + dz * dz
+    b = 2.0 * (ox * dx - oy * dy + oz * dz)
+    c = ox * ox - oy * oy + oz * oz
+
+    a_small = jnp.abs(a) < EPSILON
+    b_small = jnp.abs(b) < EPSILON
+    # linear branch: single t = -c / (2b) in slot0
+    t_lin = -c / jnp.where(b_small, 1.0, 2.0 * b)
+
+    disc = b * b - 4.0 * a * c
+    quad_ok = (~a_small) & (disc >= 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    den = jnp.where(a_small, 1.0, 2.0 * a)
+    tq0 = (-b - sq) / den
+    tq1 = (-b + sq) / den
+    swap = tq0 > tq1  # a may be negative (cone.rs:150-153)
+    t0 = jnp.where(swap, tq1, tq0)
+    t1 = jnp.where(swap, tq0, tq1)
+    y0 = oy + t0 * dy
+    y1 = oy + t1 * dy
+    body0 = jnp.where(quad_ok & (mn < y0) & (y0 < mx), t0, INF)
+    body1 = jnp.where(quad_ok & (mn < y1) & (y1 < mx), t1, INF)
+    # linear case: y-range is NOT checked (cone.rs:133-140)
+    body0 = jnp.where(a_small & ~b_small, t_lin, body0)
+    body1 = jnp.where(a_small & ~b_small, INF, body1)
+
+    cap_ok = closed & (jnp.abs(dy) >= EPSILON)
+    safe_dy = jnp.where(jnp.abs(dy) >= EPSILON, dy, 1.0)
+    tl = (mn - oy) / safe_dy
+    tu = (mx - oy) / safe_dy
+
+    def in_radius(t, y):
+        x = ox + t * dx
+        z = oz + t * dz
+        return x * x + z * z <= jnp.abs(y)
+
+    capl = jnp.where(cap_ok & in_radius(tl, mn), tl, INF)
+    capu = jnp.where(cap_ok & in_radius(tu, mx), tu, INF)
+    return jnp.stack([body0, body1, capl, capu], -1)
+
+
+def _tri_moller_trumbore(o, d, p1, e1, e2):
+    """triangle.rs:93-115 (world space; t identical, see types.py).
+
+    o,d [R,3]; p1,e1,e2 [Tc,3] -> (t, u, v) each [R,Tc]; misses = +inf t.
+    """
+    d_b = d[:, None, :]
+    dce2 = jnp.cross(d_b, e2[None])                 # [R,Tc,3]
+    det = jnp.sum(e1[None] * dce2, -1)
+    ok = jnp.abs(det) >= EPSILON
+    f = 1.0 / jnp.where(ok, det, 1.0)
+    p1o = o[:, None, :] - p1[None]
+    u = f * jnp.sum(p1o * dce2, -1)
+    ok &= (u >= 0.0) & (u <= 1.0)
+    oce1 = jnp.cross(p1o, e1[None])
+    v = f * jnp.sum(d_b * oce1, -1)
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = f * jnp.sum(e2[None] * oce1, -1)
+    return jnp.where(ok, t, INF), u, v
+
+
+def _tri_free_topk(scene: T.Scene, origins, directions, start, count, k):
+    """Chunked scan over the non-CSG triangle range, keeping the k nearest
+    hits per ray. Returns (ts, gid, u, v) each [R, k]."""
+    r = origins.shape[0]
+    n_pad = -count % TRI_CHUNK
+    sl = slice(start, start + count)
+
+    def pad(x):
+        return jnp.pad(x[sl], ((0, n_pad), (0, 0)))
+
+    p1 = pad(scene.tri_p1).reshape(-1, TRI_CHUNK, 3)
+    e1 = pad(scene.tri_e1).reshape(-1, TRI_CHUNK, 3)
+    e2 = pad(scene.tri_e2).reshape(-1, TRI_CHUNK, 3)
+    n_chunks = p1.shape[0]
+
+    init = (
+        jnp.full((r, k), INF),
+        jnp.zeros((r, k), jnp.int32),
+        jnp.zeros((r, k)),
+        jnp.zeros((r, k)),
+    )
+
+    def body(carry, chunk):
+        bts, bidx, bu, bv = carry
+        cp1, ce1, ce2, cbase = chunk
+        ts, u, v = _tri_moller_trumbore(origins, directions, cp1, ce1, ce2)
+        idx = cbase + jax.lax.broadcasted_iota(jnp.int32, ts.shape, 1)
+        all_ts = jnp.concatenate([bts, ts], -1)
+        neg, sel = jax.lax.top_k(-all_ts, k)
+
+        def g(a, b):
+            return jnp.take_along_axis(jnp.concatenate([a, b], -1), sel, -1)
+
+        return (-neg, g(bidx, idx), g(bu, u), g(bv, v)), None
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * TRI_CHUNK
+    (bts, bidx, bu, bv), _ = jax.lax.scan(body, init, (p1, e1, e2, bases))
+    tri_off = sum(scene.static.counts[:5])
+    gid = tri_off + start + jnp.minimum(bidx, count - 1)
+    return bts, gid, bu, bv
+
+
+def candidate_hits(scene: T.Scene, origins, directions):
+    """All candidate intersections of a ray batch against the whole scene.
+
+    Returns (ts [R,C], gid [R,C] i32, u [R,C], v [R,C]); misses have t=+inf.
+    Column layout is static per scene: quadric families first (static gid
+    per column), then CSG triangles (dense), then the top-k reduced free
+    triangle set. CSG filtering (if any) has already been applied.
+    """
+    st = scene.static
+    ns, npl, ncu, ncy, nco, nt = st.counts
+    off = st.offsets
+    r = origins.shape[0]
+
+    ts_list, gid_cols, uv_list = [], [], []
+
+    def fam(name, n, fn, slots, extra=()):
+        if n == 0:
+            return
+        o_l, d_l = _local_rays(
+            scene.inv_tf[off[T.FAMILIES.index(name)] : off[T.FAMILIES.index(name)] + n],
+            origins,
+            directions,
+        )
+        ts = fn(o_l, d_l, *extra)                  # [R, n, slots]
+        ts_list.append(ts.reshape(r, n * slots))
+        base = off[T.FAMILIES.index(name)]
+        gid_cols.append(np.repeat(np.arange(base, base + n, dtype=np.int32), slots))
+
+    fam("sphere", ns, _sphere_ts, 2)
+    fam("plane", npl, _plane_ts, 1)
+    fam("cube", ncu, _cube_ts, 2)
+    fam("cylinder", ncy, _cyl_ts, 4,
+        extra=(scene.cyl_min[None], scene.cyl_max[None], scene.cyl_closed[None]))
+    fam("cone", nco, _cone_ts, 4,
+        extra=(scene.cone_min[None], scene.cone_max[None], scene.cone_closed[None]))
+
+    n_static = sum(len(g) for g in gid_cols)
+    static_gids = (
+        np.concatenate(gid_cols) if gid_cols else np.zeros(0, np.int32)
+    )
+
+    # CSG triangles: dense columns (the filter needs every hit).
+    nt_csg = _num_csg_tris(scene)
+    tri_parts = []
+    if nt_csg:
+        tts, tu, tv = _tri_moller_trumbore(
+            origins, directions,
+            scene.tri_p1[:nt_csg], scene.tri_e1[:nt_csg], scene.tri_e2[:nt_csg],
+        )
+        tri_off = sum(st.counts[:5])
+        gids = np.arange(tri_off, tri_off + nt_csg, dtype=np.int32)
+        static_gids = np.concatenate([static_gids, gids])
+        tri_parts.append((tts, None, tu, tv))
+
+    ts = jnp.concatenate(
+        ts_list + [p[0] for p in tri_parts], axis=-1
+    ) if (ts_list or tri_parts) else jnp.full((r, 1), INF)
+
+    c_static = ts.shape[-1]
+    gid = jnp.broadcast_to(
+        jnp.asarray(
+            np.pad(static_gids, (0, c_static - len(static_gids)))
+            if len(static_gids) < c_static else static_gids
+        )[None, :],
+        (r, c_static),
+    )
+
+    u = jnp.full((r, c_static), 0.0)
+    v = jnp.full((r, c_static), 0.0)
+    if tri_parts:
+        ntc = tri_parts[0][0].shape[-1]
+        u = u.at[:, c_static - ntc :].set(tri_parts[0][2])
+        v = v.at[:, c_static - ntc :].set(tri_parts[0][3])
+
+    # free triangles: top-k reduced
+    nt_free = nt - nt_csg
+    if nt_free > 0:
+        k = min(TRI_TOPK, nt_free)
+        fts, fgid, fu, fv = _tri_free_topk(scene, origins, directions, nt_csg, nt_free, k)
+        ts = jnp.concatenate([ts, fts], -1)
+        gid = jnp.concatenate([gid, fgid], -1)
+        u = jnp.concatenate([u, fu], -1)
+        v = jnp.concatenate([v, fv], -1)
+
+    if st.csg_nodes:
+        ts = apply_csg(scene, ts, static_gids, c_static)
+
+    return ts, gid, u, v
+
+
+def _num_csg_tris(scene: T.Scene) -> int:
+    """Number of leading triangles that belong to CSG trees (builder orders
+    CSG triangles first; they need dense candidate columns)."""
+    return scene.static.n_csg_tris
+
+
+def sorted_hits(scene: T.Scene, origins, directions):
+    """The reference's sorted Intersections list, truncated to top_k.
+
+    Returns (ts, gid, u, v) each [R, K], ascending by t, +inf padded.
+    """
+    ts, gid, u, v = candidate_hits(scene, origins, directions)
+    k = min(scene.static.top_k, ts.shape[-1])
+    if ts.shape[-1] == k:
+        order = jnp.argsort(ts, axis=-1)
+        g = lambda x: jnp.take_along_axis(x, order, -1)
+        return g(ts), g(gid), g(u), g(v)
+    neg, sel = jax.lax.top_k(-ts, k)
+    g = lambda x: jnp.take_along_axis(x, sel, -1)
+    return -neg, g(gid), g(u), g(v)
+
+
+def first_hit(ts, gid, u, v):
+    """hit() = first intersection with t > 0 (intersections.rs:94-96).
+
+    Returns (has_hit [R], t [R], gid [R], u [R], v [R], hit_slot [R]).
+    """
+    pos = (ts > 0.0) & jnp.isfinite(ts)
+    has = jnp.any(pos, -1)
+    slot = jnp.argmax(pos, -1)
+    take = lambda x: jnp.take_along_axis(x, slot[:, None], -1)[:, 0]
+    return has, take(ts), take(gid), take(u), take(v), slot

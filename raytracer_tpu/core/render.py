@@ -1,0 +1,260 @@
+"""The wavefront integrator: whole-frame ray batches, unrolled bounce tree.
+
+The reference's recursive per-pixel color_at (world.rs:91-148) becomes a
+level-by-level loop: level L holds every ray spawned at bounce depth L
+(reflection and refraction children concatenated), each level is one batched
+trace + shade, and contributions are pre-weighted by the product of
+reflective/transparency/Schlick factors along the path — linearity makes
+this exactly the recursive sum. Static scene flags prune branches whose
+weight is identically zero (a scene with no transparent material never
+spawns refraction rays, so the common case costs depth+1 traces, not 2^d).
+
+Reference semantics preserved deliberately:
+  * shade_hit adds reflected+refracted PER LIGHT (world.rs:64-89), so child
+    weights are multiplied by the light count;
+  * is_shadowed tests only the nearest positive hit's shadow flag
+    (world.rs:101-111);
+  * area lights draw fresh jitter for the intensity pass and the lighting
+    pass (lights.rs:105-134, materials.rs:136-175), deterministic-sequence
+    mode replaces the RNG like the reference's test hook (lights.rs:77-81).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.constants import EPSILON
+from raytracer_tpu.core import types as T
+from raytracer_tpu.core import intersect as I
+from raytracer_tpu.core import shading as SH
+from raytracer_tpu.core.patterns import pattern_color
+
+
+def shadowed(scene: T.Scene, points, light_pos):
+    """world.rs:101-111: nearest positive hit closer than the light and
+    casting shadows."""
+    v = light_pos - points
+    dist = jnp.linalg.norm(v, axis=-1)
+    direction = v / dist[:, None]
+    ts, gid, _, _ = I.candidate_hits(scene, points, direction)
+    masked = jnp.where(ts > 0.0, ts, jnp.inf)
+    slot = jnp.argmin(masked, -1)
+    t = jnp.take_along_axis(masked, slot[:, None], -1)[:, 0]
+    g = jnp.take_along_axis(gid, slot[:, None], -1)[:, 0]
+    return jnp.isfinite(t) & (t < dist) & scene.shadow[g]
+
+
+def _det_jitter_tables(static: T.SceneStatic, s_total):
+    """Deterministic jitter constants per sample (lights.rs:77-81 test hook).
+
+    The reference cycles one global sequence; intensity_at consumes 2 draws
+    per sample, then lighting consumes 2 more per sample. For sequence
+    lengths 1 and 2 (all the reference's tests) this reproduces it exactly.
+    """
+    seq = static.jitter
+    L = len(seq)
+    ju1 = np.array([seq[(2 * c) % L] for c in range(s_total)], np.float32)
+    jv1 = np.array([seq[(2 * c + 1) % L] for c in range(s_total)], np.float32)
+    ju2 = np.array([seq[(2 * s_total + 2 * c) % L] for c in range(s_total)], np.float32)
+    jv2 = np.array([seq[(2 * s_total + 2 * c + 1) % L] for c in range(s_total)], np.float32)
+    return ju1, jv1, ju2, jv2
+
+
+def _area_light_contrib(scene, ai, over, eyev, normalv, base_color, mat_rows, key):
+    """Shadow fraction + sampled Phong for area light ``ai``."""
+    st = scene.static
+    us, vs = st.area_steps[ai]
+    s_total = us * vs
+    corner = scene.alight_corner[ai]
+    uvec = scene.alight_uvec[ai]
+    vvec = scene.alight_vvec[ai]
+    intensity = scene.alight_intensity[ai]
+    r = over.shape[0]
+
+    uu = np.repeat(np.arange(us, dtype=np.float32), vs)
+    vv = np.tile(np.arange(vs, dtype=np.float32), us)
+    sidx = np.arange(s_total, dtype=np.int32)
+    deterministic = st.jitter is not None
+    if deterministic:
+        ju1, jv1, ju2, jv2 = _det_jitter_tables(st, s_total)
+    else:
+        ju1 = jv1 = ju2 = jv2 = np.zeros(s_total, np.float32)
+
+    def body(carry, x):
+        int_sum, phong_sum = carry
+        u_i, v_i, s_i, a1, b1, a2, b2 = x
+        if deterministic:
+            ju, jv, ju_2, jv_2 = a1, b1, a2, b2
+        else:
+            k = jax.random.fold_in(key, s_i)
+            jj = jax.random.uniform(k, (r, 4))
+            ju, jv, ju_2, jv_2 = jj[:, 0], jj[:, 1], jj[:, 2], jj[:, 3]
+        pos = corner + (u_i + ju)[..., None] * uvec + (v_i + jv)[..., None] * vvec
+        pos = jnp.broadcast_to(pos, (r, 3))
+        sh = shadowed(scene, over, pos)
+        int_sum = int_sum + jnp.where(sh, 0.0, 1.0)
+
+        pos2 = corner + (u_i + ju_2)[..., None] * uvec + (v_i + jv_2)[..., None] * vvec
+        pos2 = jnp.broadcast_to(pos2, (r, 3))
+        ds = SH.phong(mat_rows, base_color, intensity[None], pos2, over, eyev, normalv)
+        return (int_sum, phong_sum + ds), None
+
+    init = (jnp.zeros(r), jnp.zeros((r, 3)))
+    (int_sum, phong_sum), _ = jax.lax.scan(
+        body, init,
+        tuple(jnp.asarray(x) for x in (uu, vv, sidx, ju1, jv1, ju2, jv2)),
+    )
+    eff = base_color * intensity[None]
+    ambient = eff * scene_mat_col(mat_rows, T.MAT_AMBIENT)
+    frac = int_sum / s_total
+    return ambient + (phong_sum / s_total) * frac[:, None]
+
+
+def scene_mat_col(mat_rows, col):
+    return mat_rows[:, col : col + 1]
+
+
+def shade_level(scene: T.Scene, o, d, weight, key):
+    """Trace + shade one wavefront level.
+
+    Returns (weighted surface color [R,3], reflect spawn, refract spawn),
+    each spawn = (origin, direction, child_weight).
+    """
+    st = scene.static
+    ts, gids, us, vs = I.sorted_hits(scene, o, d)
+    has, t, gid, u, v, slot = I.first_hit(ts, gids, us, vs)
+    gid = jnp.where(has, gid, 0)
+    t = jnp.where(has, t, 1.0)
+
+    point = o + t[:, None] * d
+    eyev = -d
+    normalv = SH.normal_at(scene, gid, point, u, v)
+    flip = jnp.sum(normalv * eyev, -1) < 0.0
+    normalv = jnp.where(flip[:, None], -normalv, normalv)
+    over = point + EPSILON * normalv
+    under = point - EPSILON * normalv
+
+    mat_rows = scene.mat[gid]
+    pat = pattern_color(scene, gid, over)
+    has_pat = scene.pattern_id[gid] >= 0
+    base_color = jnp.where(has_pat[:, None], pat, mat_rows[:, T.MAT_COLOR])
+
+    surface = jnp.zeros_like(base_color)
+    n_point = scene.plight_pos.shape[0]
+    for li in range(n_point):
+        lpos = scene.plight_pos[li]
+        lint = scene.plight_intensity[li]
+        inten = jnp.where(shadowed(scene, over, lpos[None]), 0.0, 1.0)
+        eff = base_color * lint[None]
+        ambient = eff * scene_mat_col(mat_rows, T.MAT_AMBIENT)
+        ds = SH.phong(mat_rows, base_color, lint[None], lpos[None], over, eyev, normalv)
+        surface = surface + ambient + ds * inten[:, None]
+
+    for ai in range(len(st.area_steps)):
+        lkey = jax.random.fold_in(key, 7919 + ai) if key is not None else None
+        surface = surface + _area_light_contrib(
+            scene, ai, over, eyev, normalv, base_color, mat_rows, lkey
+        )
+
+    surface = jnp.where(has[:, None], surface, 0.0)
+
+    # --- secondary rays ---------------------------------------------------
+    if st.has_transparency:
+        n1, n2 = SH.refraction_indices(scene, ts, gids, slot)
+    else:
+        n1 = n2 = jnp.ones_like(t)
+
+    reflective = mat_rows[:, T.MAT_REFLECTIVE]
+    transparency = mat_rows[:, T.MAT_TRANSPARENCY]
+    blend = (reflective > 0.0) & (transparency > 0.0)
+    r_schlick = SH.schlick(eyev, normalv, n1, n2)
+    refl_factor = jnp.where(blend, r_schlick, 1.0)
+    refr_factor = jnp.where(blend, 1.0 - r_schlick, 1.0)
+
+    n_lights = float(n_point + len(st.area_steps))
+    reflectv = SH.reflect(d, normalv)
+    w_reflect = weight * jnp.where(
+        has, reflective * refl_factor * n_lights, 0.0
+    )[:, None]
+
+    n_ratio = n1 / n2
+    cos_i = jnp.sum(eyev * normalv, -1)
+    sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    refr_dir = (n_ratio * cos_i - cos_t)[:, None] * normalv - n_ratio[:, None] * eyev
+    w_refract = weight * jnp.where(
+        has & ~tir, transparency * refr_factor * n_lights, 0.0
+    )[:, None]
+
+    return (
+        weight * surface,
+        (over, reflectv, w_reflect),
+        (under, refr_dir, w_refract),
+    )
+
+
+def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
+    """world.rs:91-99 over a ray batch, bounce tree unrolled."""
+    st = scene.static
+    if limit is None:
+        limit = st.recursion_limit
+    r = origins.shape[0]
+    img = jnp.zeros((r, 3))
+
+    o, d = origins, directions
+    w = jnp.ones((r, 3))
+    for level in range(limit + 1):
+        lkey = jax.random.fold_in(key, level) if key is not None else None
+        colored, refl, refr = shade_level(scene, o, d, w, lkey)
+        img = img + colored.reshape(-1, r, 3).sum(0)
+        if level == limit:
+            break
+        spawns = []
+        if st.has_reflective:
+            spawns.append(refl)
+        if st.has_transparency:
+            spawns.append(refr)
+        if not spawns:
+            break
+        o = jnp.concatenate([s[0] for s in spawns], 0)
+        d = jnp.concatenate([s[1] for s in spawns], 0)
+        w = jnp.concatenate([s[2] for s in spawns], 0)
+    return img
+
+
+@functools.partial(jax.jit, static_argnames=("limit",))
+def _color_at_jit(scene, origins, directions, key, limit):
+    return color_at(scene, origins, directions, key, limit)
+
+
+def render(scene: T.Scene, camera, *, key=None, tile_rays=1 << 16):
+    """Full frame -> float32 [vsize, hsize, 3] numpy image."""
+    from raytracer_tpu.camera import ray_grid
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    origins, directions = ray_grid(camera)
+    n = origins.shape[0]
+    tile = min(tile_rays, n)
+    n_pad = -n % tile
+    if n_pad:
+        origins = jnp.pad(origins, ((0, n_pad), (0, 0)))
+        directions = jnp.pad(
+            directions, ((0, n_pad), (0, 0)), constant_values=1.0
+        )
+    parts = []
+    for i in range(0, n + n_pad, tile):
+        tkey = jax.random.fold_in(key, i)
+        parts.append(
+            _color_at_jit(
+                scene, origins[i : i + tile], directions[i : i + tile],
+                tkey, scene.static.recursion_limit,
+            )
+        )
+    img = jnp.concatenate(parts, 0)[:n]
+    return np.asarray(img, np.float32).reshape(camera.vsize, camera.hsize, 3)

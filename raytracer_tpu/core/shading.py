@@ -1,0 +1,179 @@
+"""Normals, Phong lighting, Fresnel and the refraction-index walk.
+
+Mirrors materials.rs::lighting, intersections.rs::Computations::prepare /
+schlick and world.rs shading semantics, vectorized over ray batches.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from raytracer_tpu.constants import EPSILON
+from raytracer_tpu.core import types as T
+
+
+def reflect(v, n):
+    """tuples.rs:250-254: v - 2*dot(v,n)*n."""
+    return v - 2.0 * jnp.sum(v * n, -1, keepdims=True) * n
+
+
+def normalize(v, axis=-1):
+    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+
+
+def normal_at(scene: T.Scene, gid, world_point, u, v):
+    """shapes.rs:187-202: world_to_object -> local_normal_at -> world.
+
+    Family dispatch is by static gid ranges; every family's formula is
+    evaluated and where-selected (no divergence on TPU).
+    """
+    st = scene.static
+    off = st.offsets
+    ns, npl, ncu, ncy, nco, nt = st.counts
+
+    inv = scene.inv_tf[gid]
+    lp = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point) + inv[:, :3, 3]
+    lx, ly, lz = lp[:, 0], lp[:, 1], lp[:, 2]
+
+    # sphere.rs:82-84: p - origin
+    n_local = lp
+
+    # plane.rs:75-77
+    plane_n = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), lp.shape)
+
+    # cube.rs:116-133: dominant axis, x-then-y-then-z tie-break
+    maxc = jnp.maximum(jnp.maximum(jnp.abs(lx), jnp.abs(ly)), jnp.abs(lz))
+    zeros = jnp.zeros_like(lx)
+    cube_n = jnp.stack([zeros, zeros, lz], -1)
+    cube_n = jnp.where((jnp.abs(ly) == maxc)[:, None],
+                       jnp.stack([zeros, ly, zeros], -1), cube_n)
+    cube_n = jnp.where((jnp.abs(lx) == maxc)[:, None],
+                       jnp.stack([lx, zeros, zeros], -1), cube_n)
+
+    # cylinder.rs:158-167 caps within EPSILON bands
+    def capped_normal(local_idx, mins, maxs, side_n):
+        mn = mins[local_idx]
+        mx = maxs[local_idx]
+        dist = lx * lx + lz * lz
+        top = (dist < 1.0) & (ly >= mx - EPSILON)
+        bot = (dist < 1.0) & (ly <= mn + EPSILON)
+        n = side_n
+        n = jnp.where(top[:, None], jnp.array([0.0, 1.0, 0.0]), n)
+        n = jnp.where(bot[:, None], jnp.array([0.0, -1.0, 0.0]), n)
+        return n
+
+    if ncy:
+        cyl_idx = jnp.clip(gid - off[3], 0, ncy - 1)
+        cyl_side = jnp.stack([lx, zeros, lz], -1)
+        cyl_n = capped_normal(cyl_idx, scene.cyl_min, scene.cyl_max, cyl_side)
+    else:
+        cyl_n = n_local
+    if nco:
+        cone_idx = jnp.clip(gid - off[4], 0, nco - 1)
+        # cone.rs:167-180: y = -sign(ly)*sqrt(x^2+z^2)
+        yy = jnp.sqrt(lx * lx + lz * lz)
+        yy = jnp.where(ly > 0.0, -yy, yy)
+        cone_side = jnp.stack([lx, yy, lz], -1)
+        cone_n = capped_normal(cone_idx, scene.cone_min, scene.cone_max, cone_side)
+    else:
+        cone_n = n_local
+
+    local = n_local
+    for fam_i, n_fam in ((1, plane_n), (2, cube_n), (3, cyl_n), (4, cone_n)):
+        lo = off[fam_i]
+        hi = lo + st.counts[fam_i]
+        in_fam = (gid >= lo) & (gid < hi)
+        local = jnp.where(in_fam[:, None], n_fam, local)
+
+    # non-triangle: local normal -> world via normal matrix + normalize
+    world_n = normalize(jnp.einsum("rij,rj->ri", scene.normal_mat[gid], local))
+
+    # triangles: stored world-space normals
+    if nt:
+        tri_lo = off[5]
+        tidx = jnp.clip(gid - tri_lo, 0, nt - 1)
+        smooth = scene.tri_smooth[tidx]
+        interp = (
+            u[:, None] * scene.tri_n2[tidx]
+            + v[:, None] * scene.tri_n3[tidx]
+            + (1.0 - u - v)[:, None] * scene.tri_n1[tidx]
+        )
+        tri_n = jnp.where(smooth[:, None], normalize(interp), scene.tri_flat_n[tidx])
+        world_n = jnp.where((gid >= tri_lo)[:, None], tri_n, world_n)
+
+    return world_n
+
+
+def phong(mat_rows, surface_color, light_intensity, light_pos, point, eyev, normalv):
+    """One Phong sample (materials.rs:101-135 core): returns
+    (diffuse+specular) [R,3]; ambient handled by the caller."""
+    diffuse_f = mat_rows[:, T.MAT_DIFFUSE : T.MAT_DIFFUSE + 1]
+    specular_f = mat_rows[:, T.MAT_SPECULAR : T.MAT_SPECULAR + 1]
+    shininess = mat_rows[:, T.MAT_SHININESS]
+
+    eff = surface_color * light_intensity
+    lightv = normalize(light_pos - point)
+    ldn = jnp.sum(lightv * normalv, -1)
+    lit = ldn >= 0.0
+
+    diffuse = eff * diffuse_f * ldn[:, None]
+
+    reflectv = reflect(-lightv, normalv)
+    rde = jnp.sum(reflectv * eyev, -1)
+    spec_on = lit & (rde > 0.0)
+    factor = jnp.power(jnp.maximum(rde, 0.0), shininess)
+    specular = light_intensity * specular_f * factor[:, None]
+
+    out = jnp.where(lit[:, None], diffuse, 0.0)
+    out = out + jnp.where(spec_on[:, None], specular, 0.0)
+    return out
+
+
+def schlick(eyev, normalv, n1, n2):
+    """intersections.rs:177-192 Fresnel approximation."""
+    cos = jnp.sum(eyev * normalv, -1)
+    n = n1 / n2
+    sin2_t = n * n * (1.0 - cos * cos)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_eff = jnp.where(n1 > n2, cos_t, cos)
+    r0 = ((n1 - n2) / (n1 + n2)) ** 2
+    r = r0 + (1.0 - r0) * (1.0 - cos_eff) ** 5
+    tir = (n1 > n2) & (sin2_t > 1.0)
+    return jnp.where(tir, 1.0, r)
+
+
+def refraction_indices(scene: T.Scene, ts, gids, hit_slot):
+    """n1/n2 via the container walk (intersections.rs:141-160), as masked
+    K x K parity tests over the sorted top-K hit list instead of a stack.
+
+    A hit j is an *open container* at position h iff j occurs before h,
+    an even number of same-gid hits precede j (j opens the object), and no
+    same-gid hit lies between j and h (nothing closed it). n1 is the
+    refractive index of the latest such j (or 1.0); n2 the same evaluated
+    just after the hit toggles its own object.
+    """
+    k = ts.shape[-1]
+    idx = jnp.arange(k)
+    valid = jnp.isfinite(ts)
+    eq = (gids[:, :, None] == gids[:, None, :]) & valid[:, :, None] & valid[:, None, :]
+
+    lt = idx[:, None] < idx[None, :]                       # i < j
+    cnt_before = jnp.sum(eq & lt[None], axis=1)            # [R, j]
+    opening = (cnt_before % 2) == 0
+
+    refr = scene.mat[gids, T.MAT_REFRACTIVE]               # [R, K]
+    gt = idx[:, None] > idx[None, :]                       # [i, j]: i > j
+
+    def last_open(limit_incl):                             # limit_incl [R]
+        # open at position: j <= limit, opening, no same-gid in (j, limit]
+        in_range = idx[None, :] <= limit_incl[:, None]                 # [R, j]
+        i_in = idx[None, :, None] <= limit_incl[:, None, None]         # [R, i, 1]
+        closed = jnp.any(eq & gt[None] & i_in, axis=1)                 # [R, j]
+        opened = in_range & valid & opening & ~closed
+        last = jnp.max(jnp.where(opened, idx[None, :], -1), axis=-1)
+        take = jnp.take_along_axis(refr, jnp.maximum(last, 0)[:, None], -1)[:, 0]
+        return jnp.where(last >= 0, take, 1.0)
+
+    n1 = last_open(hit_slot - 1)
+    n2 = last_open(hit_slot)
+    return n1, n2

@@ -1,0 +1,173 @@
+"""Device-side scene representation: SoA arrays, one table per concept.
+
+This replaces the reference's enum-of-structs + global slotmap registries
+(/root/reference/src/shapes.rs:28-36, groups.rs:16-30, uv_pattern.rs:109-111)
+with flat, padded arrays — pure data, no registries, trivially shardable and
+differentiable.
+
+Design notes (TPU-first):
+
+* Every primitive gets a global id ``gid``; per-gid tables hold material,
+  pattern id, shadow flag and the composed world->object inverse transform.
+  Group hierarchies are flattened at compile time by composing the affine
+  chain (exact: the 3x3 normal blocks compose for affine maps, and the
+  reference's per-level normalize() only rescales by positive factors, so
+  one final normalize is equivalent — see shapes.rs:272-292 semantics).
+
+* Triangles are stored in WORLD space (vertices pre-transformed on the
+  host). Moller-Trumbore on world-space vertices yields identical t/u/v
+  because the reference's ray.transform never renormalizes the direction
+  (rays.rs:19-24), so t is preserved across spaces. This removes all
+  per-ray matrix work from the mesh hot loop.
+
+* Smooth-triangle shading normals n1/n2/n3 are pre-multiplied by the
+  normal matrix (unnormalized); barycentric interpolation then one final
+  normalize equals the reference's interpolate-then-transform-then-
+  normalize (linearity).
+
+* CSG trees are encoded as per-prim bitmasks over (at most 32) CSG nodes:
+  bit n of ``csg_under`` = prim lives in node n's subtree, bit n of
+  ``csg_left`` = prim lives in node n's LEFT subtree. The filter rules
+  (csg.rs:117-123) then become masked parity prefix-sums over the per-root
+  t-sorted candidate list — no recursion, no stacks.
+
+* Static/topological facts (family counts, CSG node order, area-light step
+  counts, feature flags) live in :class:`SceneStatic`, a hashable aux
+  object, so a :class:`Scene` works as a jit argument and a grad target.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+
+# Family order for gid assignment. Offsets are cumulative counts.
+FAMILIES = ("sphere", "plane", "cube", "cylinder", "cone", "triangle")
+
+# Pattern kinds (patterns.rs enum)
+PAT_STRIPED, PAT_GRADIENT, PAT_RING, PAT_CHECKER, PAT_XYZRGB, PAT_TEXTURE, PAT_CUBEMAP = range(7)
+# UV mapping kinds (texture_map.rs UvMapping)
+MAP_SPHERICAL, MAP_PLANAR, MAP_CYLINDRICAL = range(3)
+# UV pattern kinds (uv_pattern.rs enum)
+UV_CHECKER, UV_ALIGN, UV_IMAGE = range(3)
+# CSG ops (csg.rs CsgOp)
+CSG_UNION, CSG_INTERSECT, CSG_DIFFERENCE = range(3)
+
+# Material table columns
+MAT_COLOR = slice(0, 3)
+MAT_AMBIENT, MAT_DIFFUSE, MAT_SPECULAR, MAT_SHININESS = 3, 4, 5, 6
+MAT_REFLECTIVE, MAT_TRANSPARENCY, MAT_REFRACTIVE = 7, 8, 9
+MAT_NCOLS = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneStatic:
+    """Hashable static scene facts (jit-static; pytree aux data)."""
+
+    counts: tuple  # (n_sphere, n_plane, n_cube, n_cylinder, n_cone, n_triangle)
+    # ((usteps, vsteps), ...) one per area light; point lights need none.
+    area_steps: tuple = ()
+    # CSG nodes in bottom-up (children-before-parents) order:
+    # (op_code, bit_index, root_bit_index) per node. root_bit_index marks
+    # which root tree the node belongs to (used to group candidates).
+    csg_nodes: tuple = ()
+    # ((gid, under_mask, left_mask), ...) for every primitive inside a CSG
+    # tree. Static: the filter needs membership to pick candidate columns.
+    csg_members: tuple = ()
+    # Leading count of triangles that live inside CSG trees (builder orders
+    # them first within the triangle family; they take dense candidate
+    # columns so the CSG filter sees every hit).
+    n_csg_tris: int = 0
+    has_reflective: bool = False
+    has_transparency: bool = False
+    # Deterministic area-light jitter sequence (test mode, lights.rs:77-81);
+    # None means seeded-random jitter.
+    jitter: tuple | None = None
+    # How many sorted hits to keep per ray (for hit(), CSG and n1/n2 walk).
+    top_k: int = 12
+    recursion_limit: int = 4
+
+    @property
+    def offsets(self) -> tuple:
+        off, acc = [], 0
+        for c in self.counts:
+            off.append(acc)
+            acc += c
+        return tuple(off)
+
+    @property
+    def n_prims(self) -> int:
+        return sum(self.counts)
+
+    def family_range(self, name: str) -> tuple:
+        i = FAMILIES.index(name)
+        return self.offsets[i], self.counts[i]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Scene:
+    """All scene data as arrays. Array fields are pytree leaves (grad-able);
+    ``static`` is aux metadata."""
+
+    # --- per-gid tables -------------------------------------------------
+    mat: Any            # f32 [G, MAT_NCOLS]
+    pattern_id: Any     # i32 [G]   (-1 = none)
+    shadow: Any         # bool [G]  casts shadows (world.rs:107 opt-out)
+    inv_tf: Any         # f32 [G, 4, 4] world -> object (identity for tris)
+    normal_mat: Any     # f32 [G, 3, 3] transforms local normals to world
+    # --- per-family params ----------------------------------------------
+    cyl_min: Any        # f32 [Ncy]
+    cyl_max: Any        # f32 [Ncy]
+    cyl_closed: Any     # bool [Ncy]
+    cone_min: Any       # f32 [Nco]
+    cone_max: Any       # f32 [Nco]
+    cone_closed: Any    # bool [Nco]
+    tri_p1: Any         # f32 [Nt, 3] world space
+    tri_e1: Any         # f32 [Nt, 3]
+    tri_e2: Any         # f32 [Nt, 3]
+    tri_n1: Any         # f32 [Nt, 3] world-space shading normal basis
+    tri_n2: Any         # f32 [Nt, 3]
+    tri_n3: Any         # f32 [Nt, 3]
+    tri_flat_n: Any     # f32 [Nt, 3] unit flat normal (world)
+    tri_smooth: Any     # bool [Nt]
+    # --- lights -----------------------------------------------------------
+    plight_pos: Any     # f32 [Lp, 3]
+    plight_intensity: Any  # f32 [Lp, 3]
+    alight_corner: Any  # f32 [La, 3]
+    alight_uvec: Any    # f32 [La, 3]  (full_uvec / usteps, lights.rs:95)
+    alight_vvec: Any    # f32 [La, 3]
+    alight_pos: Any     # f32 [La, 3]  corner + (full_u + full_v)/2
+    alight_intensity: Any  # f32 [La, 3]
+    # --- patterns -----------------------------------------------------------
+    pat_kind: Any       # i32 [P]
+    pat_a: Any          # f32 [P, 3]
+    pat_b: Any          # f32 [P, 3]
+    pat_inv: Any        # f32 [P, 4, 4]
+    pat_map: Any        # i32 [P] uv mapping kind
+    pat_uv: Any         # i32 [P, 6] uv-pattern ids (texmap: slot 0;
+    #                     cubemap: left,right,front,back,up,down)
+    uv_kind: Any        # i32 [U]
+    uv_wh: Any          # f32 [U, 2]
+    uv_colors: Any      # f32 [U, 5, 3] checker: rows 0,1; align: main,ul,ur,bl,br
+    uv_image: Any       # i32 [U]
+    images: Any         # f32 [I, Hmax, Wmax, 3]
+    image_wh: Any       # i32 [I, 2]  (width, height) of each image
+    # --- static -----------------------------------------------------------
+    static: SceneStatic = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
+
+    def family_slice(self, name: str, table):
+        off, n = self.static.family_range(name)
+        return table[off : off + n]
+
+
+def _pad_rows(arr: np.ndarray, min_rows: int = 1) -> np.ndarray:
+    if arr.shape[0] >= min_rows:
+        return arr
+    pad = [(0, min_rows - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)

@@ -1,0 +1,342 @@
+"""Compile host-side specs into the device SoA Scene.
+
+Group flattening: the reference walks parent chains at render time
+(shapes.rs:272-292, groups.rs:127-133). We compose each leaf's full affine
+chain once here, so the device never sees a tree. For affine transforms the
+composition is exact (see core/types.py docstring).
+
+CSG encoding: nodes are numbered bottom-up (children before parents); every
+leaf primitive records, per ancestor node bit, whether it sits in that
+node's left subtree. The device-side filter (core/csg.py) then reproduces
+csg.rs:26-123 with parity prefix-sums.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raytracer_tpu.core import types as T
+from raytracer_tpu.scene import specs as S
+
+_DEF_UV = -1
+
+
+def build_scene(
+    items: list,
+    *,
+    jitter: tuple | None = None,
+    top_k: int | None = None,
+    recursion_limit: int = 4,
+) -> T.Scene:
+    """items: shapes / Groups / Csgs / PointLights / AreaLights."""
+    b = _Builder()
+    for item in items:
+        if isinstance(item, S.PointLight):
+            b.point_lights.append(item)
+        elif isinstance(item, S.AreaLight):
+            b.area_lights.append(item)
+        elif isinstance(item, S.Group):
+            b.add_group(item, np.eye(4, dtype=np.float32))
+        elif isinstance(item, S.Csg):
+            b.add_csg_root(item)
+        else:
+            b.add_shape(item, item.matrix, 0, 0)
+    return b.finish(jitter=jitter, top_k=top_k, recursion_limit=recursion_limit)
+
+
+class _Builder:
+    def __init__(self):
+        self.rows = {name: [] for name in T.FAMILIES}
+        self.point_lights = []
+        self.area_lights = []
+        self.csg_nodes = []  # (op_code, bit, root_bit)
+        self._csg_bit = 0
+        # pattern / uv / image tables
+        self.patterns = []
+        self.uvs = []
+        self.images = []
+
+    # --- shapes -----------------------------------------------------------
+
+    def add_group(self, group: S.Group, parent_m: np.ndarray):
+        m = parent_m @ group.matrix
+        for child in group.children:
+            if isinstance(child, S.Group):
+                self.add_group(child, m)
+            else:
+                self.add_shape(child, m @ child.matrix, 0, 0)
+
+    def add_csg_root(self, root: S.Csg):
+        self._add_csg_node(root, under=0, left=0, root_bit=None)
+
+    def _add_csg_node(self, node: S.Csg, under: int, left: int, root_bit):
+        # Children first so the node list is bottom-up; but the node's bit
+        # must exist before leaves record membership -> allocate bit now,
+        # emit the node entry after recursing.
+        bit = self._csg_bit
+        self._csg_bit += 1
+        if self._csg_bit > 32:
+            raise ValueError("At most 32 CSG nodes per scene supported")
+        my_root = bit if root_bit is None else root_bit
+        op = {"union": T.CSG_UNION, "intersect": T.CSG_INTERSECT,
+              "difference": T.CSG_DIFFERENCE}[node.op]
+
+        for side, child in (("L", node.left), ("R", node.right)):
+            cu = under | (1 << bit)
+            cl = left | ((1 << bit) if side == "L" else 0)
+            if isinstance(child, S.Csg):
+                self._add_csg_node(child, cu, cl, my_root)
+            else:
+                self.add_shape(child, child.matrix, cu, cl)
+        self.csg_nodes.append((op, bit, my_root))
+
+    def add_shape(self, shape, world_m: np.ndarray, csg_under: int, csg_left: int):
+        mat_row, pattern_id = self._material(shape.material)
+        common = dict(
+            m=np.asarray(world_m, np.float32),
+            mat=mat_row,
+            pattern_id=pattern_id,
+            shadow=bool(shape.shadow),
+            csg_under=csg_under,
+            csg_left=csg_left,
+        )
+        if isinstance(shape, S.Sphere):
+            self.rows["sphere"].append(common)
+        elif isinstance(shape, S.Plane):
+            self.rows["plane"].append(common)
+        elif isinstance(shape, S.Cube):
+            self.rows["cube"].append(common)
+        elif isinstance(shape, S.Cylinder):
+            common.update(min=shape.min, max=shape.max, closed=shape.closed)
+            self.rows["cylinder"].append(common)
+        elif isinstance(shape, S.Cone):
+            common.update(min=shape.min, max=shape.max, closed=shape.closed)
+            self.rows["cone"].append(common)
+        elif isinstance(shape, (S.Triangle, S.SmoothTriangle)):
+            smooth = isinstance(shape, S.SmoothTriangle)
+            common.update(
+                p=(shape.p1, shape.p2, shape.p3),
+                n=(shape.n1, shape.n2, shape.n3) if smooth else None,
+                smooth=smooth,
+            )
+            self.rows["triangle"].append(common)
+        else:
+            raise TypeError(f"Unknown shape spec: {type(shape)}")
+
+    # --- materials / patterns ----------------------------------------------
+
+    def _material(self, mat: S.Material):
+        row = np.zeros(T.MAT_NCOLS, np.float32)
+        row[T.MAT_COLOR] = mat.color
+        row[T.MAT_AMBIENT] = mat.ambient
+        row[T.MAT_DIFFUSE] = mat.diffuse
+        row[T.MAT_SPECULAR] = mat.specular
+        row[T.MAT_SHININESS] = mat.shininess
+        row[T.MAT_REFLECTIVE] = mat.reflective
+        row[T.MAT_TRANSPARENCY] = mat.transparency
+        row[T.MAT_REFRACTIVE] = mat.refractive_index
+        pattern_id = -1 if mat.pattern is None else self._pattern(mat.pattern)
+        return row, pattern_id
+
+    def _pattern(self, p: S.Pattern) -> int:
+        kind = {
+            "striped": T.PAT_STRIPED, "gradient": T.PAT_GRADIENT,
+            "ring": T.PAT_RING, "checker": T.PAT_CHECKER,
+            "xyz_rgb": T.PAT_XYZRGB, "texture_map": T.PAT_TEXTURE,
+            "cube_map": T.PAT_CUBEMAP,
+        }[p.kind]
+        m = S._as_matrix(p.transform)
+        uv_ids = [_DEF_UV] * 6
+        if p.kind == "texture_map":
+            uv_ids[0] = self._uv(p.uv_pattern)
+        elif p.kind == "cube_map":
+            faces = (p.left, p.right, p.front, p.back, p.up, p.down)
+            uv_ids = [self._uv(f) for f in faces]
+        mapping = {"spherical": T.MAP_SPHERICAL, "planar": T.MAP_PLANAR,
+                   "cylindrical": T.MAP_CYLINDRICAL}[p.mapping]
+        self.patterns.append(dict(
+            kind=kind, a=p.a, b=p.b, inv=np.linalg.inv(m).astype(np.float32),
+            mapping=mapping, uv=uv_ids,
+        ))
+        return len(self.patterns) - 1
+
+    def _uv(self, uv: S.UvPatternSpec) -> int:
+        kind = {"checker": T.UV_CHECKER, "align_check": T.UV_ALIGN,
+                "image": T.UV_IMAGE}[uv.kind]
+        colors = np.zeros((5, 3), np.float32)
+        image_id = -1
+        if uv.kind == "checker":
+            colors[0], colors[1] = uv.a, uv.b
+        elif uv.kind == "align_check":
+            colors[0], colors[1], colors[2], colors[3], colors[4] = (
+                uv.main, uv.ul, uv.ur, uv.bl, uv.br)
+        else:
+            image_id = len(self.images)
+            self.images.append(np.asarray(uv.image, np.float32))
+        self.uvs.append(dict(kind=kind, w=uv.width, h=uv.height,
+                             colors=colors, image=image_id))
+        return len(self.uvs) - 1
+
+    # --- finish -----------------------------------------------------------
+
+    def finish(self, *, jitter, top_k, recursion_limit) -> T.Scene:
+        # CSG triangles first within the family (dense candidate columns).
+        self.rows["triangle"].sort(key=lambda r: 0 if r["csg_under"] else 1)
+        n_csg_tris = sum(1 for r in self.rows["triangle"] if r["csg_under"])
+
+        counts = tuple(len(self.rows[f]) for f in T.FAMILIES)
+        all_rows = [r for f in T.FAMILIES for r in self.rows[f]]
+        g = len(all_rows)
+
+        mat = np.zeros((max(g, 1), T.MAT_NCOLS), np.float32)
+        pattern_id = np.full(max(g, 1), -1, np.int32)
+        shadow = np.ones(max(g, 1), bool)
+        inv_tf = np.tile(np.eye(4, dtype=np.float32), (max(g, 1), 1, 1))
+        normal_mat = np.tile(np.eye(3, dtype=np.float32), (max(g, 1), 1, 1))
+        csg_members = []
+
+        for i, r in enumerate(all_rows):
+            mat[i] = r["mat"]
+            pattern_id[i] = r["pattern_id"]
+            shadow[i] = r["shadow"]
+            inv = np.linalg.inv(r["m"]).astype(np.float32)
+            inv_tf[i] = inv
+            normal_mat[i] = inv.T[:3, :3]
+            if r["csg_under"]:
+                csg_members.append((i, int(r["csg_under"]), int(r["csg_left"])))
+
+        # cylinders / cones
+        def _mm(fam):
+            rows = self.rows[fam]
+            mn = np.array([r["min"] for r in rows], np.float32)
+            mx = np.array([r["max"] for r in rows], np.float32)
+            cl = np.array([r["closed"] for r in rows], bool)
+            return mn, mx, cl
+
+        cyl_min, cyl_max, cyl_closed = _mm("cylinder")
+        cone_min, cone_max, cone_closed = _mm("cone")
+
+        # triangles -> world space
+        tris = self.rows["triangle"]
+        nt = len(tris)
+        tri_p1 = np.zeros((nt, 3), np.float32)
+        tri_e1 = np.zeros((nt, 3), np.float32)
+        tri_e2 = np.zeros((nt, 3), np.float32)
+        tri_n = [np.zeros((nt, 3), np.float32) for _ in range(3)]
+        tri_flat = np.zeros((nt, 3), np.float32)
+        tri_smooth = np.zeros(nt, bool)
+        tri_off = sum(counts[:5])
+        for i, r in enumerate(tris):
+            m = r["m"]
+            nm = np.linalg.inv(m).astype(np.float32).T[:3, :3]
+            p1, p2, p3 = (np.asarray(p, np.float32) for p in r["p"])
+            w1 = (m @ np.append(p1, 1.0))[:3]
+            w2 = (m @ np.append(p2, 1.0))[:3]
+            w3 = (m @ np.append(p3, 1.0))[:3]
+            tri_p1[i], tri_e1[i], tri_e2[i] = w1, w2 - w1, w3 - w1
+            # flat normal: object-space normalize(e2 x e1) (triangle.rs:32-48)
+            # then through the normal matrix, final normalize.
+            e1o, e2o = p2 - p1, p3 - p1
+            n_obj = np.cross(e2o, e1o)
+            n_obj = n_obj / (np.linalg.norm(n_obj) or 1.0)
+            n_w = nm @ n_obj
+            tri_flat[i] = n_w / (np.linalg.norm(n_w) or 1.0)
+            if r["smooth"]:
+                tri_smooth[i] = True
+                for k in range(3):
+                    tri_n[k][i] = nm @ np.asarray(r["n"][k], np.float32)
+            else:
+                for k in range(3):
+                    tri_n[k][i] = tri_flat[i]
+
+        # lights
+        lp = self.point_lights
+        la = self.area_lights
+        plight_pos = np.array([l.position for l in lp], np.float32).reshape(-1, 3)
+        plight_int = np.array([l.intensity for l in lp], np.float32).reshape(-1, 3)
+        a_corner = np.array([l.corner for l in la], np.float32).reshape(-1, 3)
+        a_ufull = np.array([l.uvec for l in la], np.float32).reshape(-1, 3)
+        a_vfull = np.array([l.vvec for l in la], np.float32).reshape(-1, 3)
+        a_int = np.array([l.intensity for l in la], np.float32).reshape(-1, 3)
+        a_steps = tuple((int(l.usteps), int(l.vsteps)) for l in la)
+        a_uvec = a_ufull / np.array([[l.usteps] for l in la] or [[1]], np.float32)
+        a_vvec = a_vfull / np.array([[l.vsteps] for l in la] or [[1]], np.float32)
+        a_pos = a_corner + (a_ufull + a_vfull) / 2.0
+
+        # patterns
+        np_ = max(len(self.patterns), 1)
+        pat_kind = np.zeros(np_, np.int32)
+        pat_a = np.zeros((np_, 3), np.float32)
+        pat_b = np.zeros((np_, 3), np.float32)
+        pat_inv = np.tile(np.eye(4, dtype=np.float32), (np_, 1, 1))
+        pat_map = np.zeros(np_, np.int32)
+        pat_uv = np.full((np_, 6), _DEF_UV, np.int32)
+        for i, p in enumerate(self.patterns):
+            pat_kind[i], pat_map[i] = p["kind"], p["mapping"]
+            pat_a[i], pat_b[i] = p["a"], p["b"]
+            pat_inv[i] = p["inv"]
+            pat_uv[i] = p["uv"]
+
+        nu = max(len(self.uvs), 1)
+        uv_kind = np.zeros(nu, np.int32)
+        uv_wh = np.ones((nu, 2), np.float32)
+        uv_colors = np.zeros((nu, 5, 3), np.float32)
+        uv_image = np.full(nu, -1, np.int32)
+        for i, u in enumerate(self.uvs):
+            uv_kind[i] = u["kind"]
+            uv_wh[i] = (u["w"], u["h"])
+            uv_colors[i] = u["colors"]
+            uv_image[i] = u["image"]
+
+        if self.images:
+            hmax = max(im.shape[0] for im in self.images)
+            wmax = max(im.shape[1] for im in self.images)
+            images = np.zeros((len(self.images), hmax, wmax, 3), np.float32)
+            image_wh = np.zeros((len(self.images), 2), np.int32)
+            for i, im in enumerate(self.images):
+                images[i, : im.shape[0], : im.shape[1]] = im
+                image_wh[i] = (im.shape[1], im.shape[0])
+        else:
+            images = np.zeros((1, 1, 1, 3), np.float32)
+            image_wh = np.ones((1, 2), np.int32)
+
+        has_reflective = bool((mat[:g, T.MAT_REFLECTIVE] != 0).any()) if g else False
+        has_transparency = bool((mat[:g, T.MAT_TRANSPARENCY] != 0).any()) if g else False
+
+        n_candidates = (
+            2 * counts[0] + counts[1] + 2 * counts[2] + 4 * counts[3]
+            + 4 * counts[4] + counts[5]
+        )
+        if top_k is None:
+            top_k = int(min(max(n_candidates, 1), 12))
+
+        static = T.SceneStatic(
+            counts=counts,
+            area_steps=a_steps,
+            csg_nodes=tuple(self.csg_nodes),
+            csg_members=tuple(csg_members),
+            n_csg_tris=n_csg_tris,
+            has_reflective=has_reflective,
+            has_transparency=has_transparency,
+            jitter=tuple(jitter) if jitter is not None else None,
+            top_k=top_k,
+            recursion_limit=recursion_limit,
+        )
+
+        return T.Scene(
+            mat=mat, pattern_id=pattern_id, shadow=shadow, inv_tf=inv_tf,
+            normal_mat=normal_mat,
+            cyl_min=cyl_min, cyl_max=cyl_max, cyl_closed=cyl_closed,
+            cone_min=cone_min, cone_max=cone_max, cone_closed=cone_closed,
+            tri_p1=tri_p1, tri_e1=tri_e1, tri_e2=tri_e2,
+            tri_n1=tri_n[0], tri_n2=tri_n[1], tri_n3=tri_n[2],
+            tri_flat_n=tri_flat, tri_smooth=tri_smooth,
+            plight_pos=plight_pos, plight_intensity=plight_int,
+            alight_corner=a_corner, alight_uvec=a_uvec, alight_vvec=a_vvec,
+            alight_pos=a_pos, alight_intensity=a_int,
+            pat_kind=pat_kind, pat_a=pat_a, pat_b=pat_b, pat_inv=pat_inv,
+            pat_map=pat_map, pat_uv=pat_uv,
+            uv_kind=uv_kind, uv_wh=uv_wh, uv_colors=uv_colors,
+            uv_image=uv_image, images=images, image_wh=image_wh,
+            static=static,
+        )

@@ -1,0 +1,186 @@
+"""Host-side scene description (the "library API").
+
+These light-weight specs mirror the reference's public shape/material/light
+constructors (src/shapes/*.rs builders, src/materials.rs:19-33,
+src/lights.rs:42-121, src/groups.rs, src/csg.rs) but are plain Python data;
+:func:`raytracer_tpu.scene.builder.build_scene` compiles a list of them into
+the device SoA :class:`~raytracer_tpu.core.types.Scene`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+import numpy as np
+
+from raytracer_tpu import transforms
+
+
+def _as_matrix(t) -> np.ndarray:
+    if t is None:
+        return transforms.identity()
+    if isinstance(t, transforms.Transform):
+        return t.matrix
+    return np.asarray(t, dtype=np.float32)
+
+
+@dataclass
+class UvPatternSpec:
+    """uv-checker / align-check / image (uv_pattern.rs)."""
+
+    kind: str  # "checker" | "align_check" | "image"
+    width: float = 0.0
+    height: float = 0.0
+    a: tuple = (0.0, 0.0, 0.0)
+    b: tuple = (0.0, 0.0, 0.0)
+    # align_check corner colors
+    main: tuple = (0.0, 0.0, 0.0)
+    ul: tuple = (0.0, 0.0, 0.0)
+    ur: tuple = (0.0, 0.0, 0.0)
+    bl: tuple = (0.0, 0.0, 0.0)
+    br: tuple = (0.0, 0.0, 0.0)
+    image: Optional[np.ndarray] = None  # f32 [h, w, 3]
+
+
+@dataclass
+class Pattern:
+    """striped/gradient/ring/checker/xyz_rgb/texture_map/cube_map."""
+
+    kind: str
+    a: tuple = (1.0, 1.0, 1.0)
+    b: tuple = (0.0, 0.0, 0.0)
+    transform: Optional[np.ndarray] = None
+    mapping: str = "spherical"  # texture_map only
+    uv_pattern: Optional[UvPatternSpec] = None  # texture_map
+    # cube_map faces
+    left: Optional[UvPatternSpec] = None
+    right: Optional[UvPatternSpec] = None
+    front: Optional[UvPatternSpec] = None
+    back: Optional[UvPatternSpec] = None
+    up: Optional[UvPatternSpec] = None
+    down: Optional[UvPatternSpec] = None
+
+
+@dataclass
+class Material:
+    """Defaults match materials.rs:19-33."""
+
+    color: tuple = (1.0, 1.0, 1.0)
+    ambient: float = 0.1
+    diffuse: float = 0.9
+    specular: float = 0.9
+    shininess: float = 200.0
+    reflective: float = 0.0
+    transparency: float = 0.0
+    refractive_index: float = 1.0
+    pattern: Optional[Pattern] = None
+
+    def replace(self, **kw) -> "Material":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass
+class PointLight:
+    position: tuple
+    intensity: tuple = (1.0, 1.0, 1.0)
+
+
+@dataclass
+class AreaLight:
+    corner: tuple
+    uvec: tuple  # FULL u vector (divided by usteps at build, lights.rs:95)
+    usteps: int
+    vvec: tuple
+    vsteps: int
+    intensity: tuple = (1.0, 1.0, 1.0)
+
+
+@dataclass
+class _ShapeBase:
+    transform: Optional[np.ndarray] = None
+    material: Material = field(default_factory=Material)
+    shadow: bool = True
+
+    @property
+    def matrix(self) -> np.ndarray:
+        return _as_matrix(self.transform)
+
+
+@dataclass
+class Sphere(_ShapeBase):
+    pass
+
+
+@dataclass
+class Plane(_ShapeBase):
+    pass
+
+
+@dataclass
+class Cube(_ShapeBase):
+    pass
+
+
+@dataclass
+class Cylinder(_ShapeBase):
+    min: float = -np.inf
+    max: float = np.inf
+    closed: bool = False
+
+
+@dataclass
+class Cone(_ShapeBase):
+    min: float = -np.inf
+    max: float = np.inf
+    closed: bool = False
+
+
+@dataclass
+class Triangle(_ShapeBase):
+    p1: tuple = (0.0, 0.0, 0.0)
+    p2: tuple = (0.0, 0.0, 0.0)
+    p3: tuple = (0.0, 0.0, 0.0)
+
+
+@dataclass
+class SmoothTriangle(_ShapeBase):
+    p1: tuple = (0.0, 0.0, 0.0)
+    p2: tuple = (0.0, 0.0, 0.0)
+    p3: tuple = (0.0, 0.0, 0.0)
+    n1: tuple = (0.0, 0.0, 1.0)
+    n2: tuple = (0.0, 0.0, 1.0)
+    n3: tuple = (0.0, 0.0, 1.0)
+
+
+ShapeSpec = Union[Sphere, Plane, Cube, Cylinder, Cone, Triangle, SmoothTriangle]
+
+
+@dataclass
+class Group:
+    """Hierarchical transform node; flattened at compile time.
+
+    ``children`` may contain shapes and nested Groups. Matches the
+    semantics of groups.rs: the group's transform composes onto every
+    descendant; it carries no material of its own (OBJ loading applies a
+    material to the triangles it creates, see obj.rs:8-41).
+    """
+
+    transform: Optional[np.ndarray] = None
+    children: list = field(default_factory=list)
+
+    @property
+    def matrix(self) -> np.ndarray:
+        return _as_matrix(self.transform)
+
+
+@dataclass
+class Csg:
+    """CSG node: op in {"union","intersect","difference"}, children are
+    shapes or nested Csg (csg.rs:6-11). Roots are intersected in world
+    space (world.rs:44-49)."""
+
+    op: str
+    left: Union[ShapeSpec, "Csg"]
+    right: Union[ShapeSpec, "Csg"]

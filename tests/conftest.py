@@ -1,0 +1,35 @@
+"""Test config: run JAX on CPU with 8 virtual devices so multi-chip
+sharding tests work anywhere (the driver separately dry-runs the real
+multi-chip path)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override axon; tests run on virtual CPU mesh
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def default_world():
+    """The book's default world fixture (world.rs:20-41): one point light
+    and two canonical spheres."""
+    from raytracer_tpu import transforms
+    from raytracer_tpu.scene import specs as S
+    from raytracer_tpu.scene.builder import build_scene
+
+    s1 = S.Sphere(
+        material=S.Material(color=(0.8, 1.0, 0.6), diffuse=0.7, specular=0.2)
+    )
+    s2 = S.Sphere(transform=transforms.scaling(0.5, 0.5, 0.5))
+    light = S.PointLight(position=(-10.0, 10.0, -10.0), intensity=(1.0, 1.0, 1.0))
+    return build_scene([light, s1, s2])
+
+
+def approx_eq(a, b, eps=1e-4):
+    return np.all(np.abs(np.asarray(a) - np.asarray(b)) < eps)
