@@ -1,0 +1,59 @@
+"""Headline benchmark: full-frame forward render throughput.
+
+Renders the flagship scene (reflective floor + three spheres incl. glass,
+checker pattern, point light, depth-4 reflection+refraction) at 1280x720 —
+the reference's default resolution (samples/scenes/basic_scene.yaml:3-4) —
+and reports pixels/sec (primary rays/sec; every pixel additionally pays
+shadow + up to 2^4 secondary rays inside the timed region).
+
+Baseline: the reference publishes exactly one number — dragons.yaml,
+1200x480 px in ~45 min on a 16-core CPU (README.md:95-96) = ~213 px/s.
+``vs_baseline`` is pixels/sec here divided by that 213 px/s. Scenes differ
+(dragons is mesh-heavy; this is the standard 3-sphere scene) — it is the
+only wall-clock figure the reference provides. This will switch to a true
+same-scene comparison once the YAML/OBJ path renders dragons.yaml.
+"""
+
+import json
+import math
+import time
+
+import jax
+import numpy as np
+
+BASELINE_PX_PER_SEC = 576000 / 2700.0  # dragons.yaml: 1200*480 px / ~45 min
+
+
+def main():
+    from __graft_entry__ import _flagship_scene, _camera
+    from raytracer_tpu.camera import ray_grid
+    from raytracer_tpu.core.render import color_at
+
+    scene = _flagship_scene()
+    cam = _camera(1280, 720)
+    origins, directions = ray_grid(cam)
+    key = jax.random.PRNGKey(0)
+
+    fn = jax.jit(color_at)
+    # warm-up / compile
+    fn(scene, origins, directions, key).block_until_ready()
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        img = fn(scene, origins, directions, key)
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    px_per_sec = cam.hsize * cam.vsize / dt
+    assert np.isfinite(np.asarray(img)).all()
+    print(json.dumps({
+        "metric": "render_pixels_per_sec_1280x720_depth4",
+        "value": round(px_per_sec, 1),
+        "unit": "pixels/sec",
+        "vs_baseline": round(px_per_sec / BASELINE_PX_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
