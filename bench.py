@@ -24,29 +24,27 @@ import numpy as np
 BASELINE_PX_PER_SEC = 576000 / 2700.0  # dragons.yaml: 1200*480 px / ~45 min
 
 
+TILE = 1 << 16  # rays per jit call; bounds the depth-4 spawn tree in HBM
+
+
 def main():
     from __graft_entry__ import _flagship_scene, _camera
-    from raytracer_tpu.camera import ray_grid
-    from raytracer_tpu.core.render import color_at
+    from raytracer_tpu.core.render import render
 
     scene = _flagship_scene()
     cam = _camera(1280, 720)
-    origins, directions = ray_grid(cam)
-    key = jax.random.PRNGKey(0)
 
-    fn = jax.jit(color_at)
     # warm-up / compile
-    fn(scene, origins, directions, key).block_until_ready()
+    render(scene, cam, tile_rays=TILE)
 
-    n_iters = 5
+    n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        img = fn(scene, origins, directions, key)
-    img.block_until_ready()
+        img = render(scene, cam, tile_rays=TILE)
     dt = (time.perf_counter() - t0) / n_iters
 
     px_per_sec = cam.hsize * cam.vsize / dt
-    assert np.isfinite(np.asarray(img)).all()
+    assert np.isfinite(img).all()
     print(json.dumps({
         "metric": "render_pixels_per_sec_1280x720_depth4",
         "value": round(px_per_sec, 1),

@@ -15,3 +15,10 @@ from raytracer_tpu.scene.specs import (
     Csg,
 )
 from raytracer_tpu.scene.builder import build_scene
+
+
+def parse_scene(*args, **kwargs):
+    """Lazy alias for :func:`raytracer_tpu.scene.yaml_scene.parse_scene`."""
+    from raytracer_tpu.scene.yaml_scene import parse_scene as _parse
+
+    return _parse(*args, **kwargs)
