@@ -53,6 +53,14 @@ def _local_rays(inv_tf, origins, directions):
     return o, d
 
 
+def _safe_sqrt(x, ok):
+    """sqrt with NaN-free gradients: the masked-out branch never sees a
+    negative operand, and the derivative is clamped near zero (tangent
+    hits have mathematically infinite dt/dparam; clamping keeps training
+    finite — standard differentiable-rendering practice)."""
+    return jnp.sqrt(jnp.maximum(jnp.where(ok, x, 1.0), 1e-10))
+
+
 def _sphere_ts(o, d):
     """sphere.rs:64-80; unit sphere at origin, 2 candidate ts."""
     a = jnp.sum(d * d, -1)
@@ -60,7 +68,7 @@ def _sphere_ts(o, d):
     c = jnp.sum(o * o, -1) - 1.0
     disc = b * b - 4.0 * a * c
     ok = disc >= 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = _safe_sqrt(disc, ok)
     t1 = (-b - sq) / (2.0 * a)
     t2 = (-b + sq) / (2.0 * a)
     return jnp.stack([jnp.where(ok, t1, INF), jnp.where(ok, t2, INF)], -1)
@@ -79,8 +87,10 @@ def check_axis(origin, direction, lo, hi):
     tmax_num = hi - origin
     ok = jnp.abs(direction) >= EPSILON
     safe_d = jnp.where(ok, direction, 1.0)
-    tmin = jnp.where(ok, tmin_num / safe_d, tmin_num * INF)
-    tmax = jnp.where(ok, tmax_num / safe_d, tmax_num * INF)
+    # sign-based +-inf instead of num*INF: 0*inf = NaN both forward (on
+    # face-coplanar rays) and in the backward pass.
+    tmin = jnp.where(ok, tmin_num / safe_d, jnp.where(tmin_num >= 0.0, INF, -INF))
+    tmax = jnp.where(ok, tmax_num / safe_d, jnp.where(tmax_num >= 0.0, INF, -INF))
     swap = tmin > tmax
     return jnp.where(swap, tmax, tmin), jnp.where(swap, tmin, tmax)
 
@@ -111,7 +121,7 @@ def _cyl_ts(o, d, mn, mx, closed):
     c = ox * ox + oz * oz - 1.0
     disc = b * b - 4.0 * a * c
     ok = (~parallel) & (disc >= 0.0)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = _safe_sqrt(disc, ok)
     den = jnp.where(parallel, 1.0, 2.0 * a)
     t0 = (-b - sq) / den
     t1 = (-b + sq) / den
@@ -128,7 +138,10 @@ def _cyl_ts(o, d, mn, mx, closed):
     def in_radius(t):
         x = ox + t * dx
         z = oz + t * dz
-        return x * x + z * z <= 1.0
+        # tolerance: rays through the exact cap edge land on either side
+        # of 1.0 depending on FMA contraction (the reference's exact <=
+        # only passes its own oracle by f32 rounding luck, cylinder.rs:150)
+        return x * x + z * z <= 1.0 + 1e-5
 
     capl = jnp.where(cap_ok & in_radius(tl), tl, INF)
     capu = jnp.where(cap_ok & in_radius(tu), tu, INF)
@@ -151,7 +164,7 @@ def _cone_ts(o, d, mn, mx, closed):
 
     disc = b * b - 4.0 * a * c
     quad_ok = (~a_small) & (disc >= 0.0)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = _safe_sqrt(disc, quad_ok)
     den = jnp.where(a_small, 1.0, 2.0 * a)
     tq0 = (-b - sq) / den
     tq1 = (-b + sq) / den
@@ -174,7 +187,7 @@ def _cone_ts(o, d, mn, mx, closed):
     def in_radius(t, y):
         x = ox + t * dx
         z = oz + t * dz
-        return x * x + z * z <= jnp.abs(y)
+        return x * x + z * z <= jnp.abs(y) + 1e-5
 
     capl = jnp.where(cap_ok & in_radius(tl, mn), tl, INF)
     capu = jnp.where(cap_ok & in_radius(tu, mx), tu, INF)

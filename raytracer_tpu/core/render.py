@@ -38,7 +38,7 @@ def shadowed(scene: T.Scene, points, light_pos):
     """world.rs:101-111: nearest positive hit closer than the light and
     casting shadows."""
     v = light_pos - points
-    dist = jnp.linalg.norm(v, axis=-1)
+    dist = jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-12)
     direction = v / dist[:, None]
     ts, gid, _, _ = I.candidate_hits(scene, points, direction)
     masked = jnp.where(ts > 0.0, ts, jnp.inf)
@@ -185,8 +185,14 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     cos_i = jnp.sum(eyev * normalv, -1)
     sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
     tir = sin2_t > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-10))
     refr_dir = (n_ratio * cos_i - cos_t)[:, None] * normalv - n_ratio[:, None] * eyev
+    # Unlike reflection, Snell's construction does not preserve length;
+    # downstream shading (Schlick cos, Phong rde^shininess) assumes unit
+    # directions — a 1.5x-length eyev overflows rde^300 to inf in f32.
+    refr_dir = refr_dir / jnp.maximum(
+        jnp.linalg.norm(refr_dir, axis=-1, keepdims=True), 1e-12
+    )
     w_refract = weight * jnp.where(
         has & ~tir, transparency * refr_factor * n_lights, 0.0
     )[:, None]
@@ -238,6 +244,9 @@ def render(scene: T.Scene, camera, *, key=None, tile_rays=1 << 16):
 
     if key is None:
         key = jax.random.PRNGKey(0)
+    # Pin the scene tables on device once; otherwise every tile dispatch
+    # re-transfers the whole SoA from host (catastrophic over remote TPU).
+    scene = jax.device_put(scene)
     origins, directions = ray_grid(camera)
     n = origins.shape[0]
     tile = min(tile_rays, n)

@@ -18,7 +18,9 @@ def reflect(v, n):
 
 
 def normalize(v, axis=-1):
-    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+    # clamped: degenerate vectors (e.g. the dummy normal of a missed ray)
+    # must not poison gradients of everything else with 0/0.
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), 1e-12)
 
 
 def normal_at(scene: T.Scene, gid, world_point, u, v):
@@ -134,7 +136,7 @@ def schlick(eyev, normalv, n1, n2):
     cos = jnp.sum(eyev * normalv, -1)
     n = n1 / n2
     sin2_t = n * n * (1.0 - cos * cos)
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-10))
     cos_eff = jnp.where(n1 > n2, cos_t, cos)
     r0 = ((n1 - n2) / (n1 + n2)) ** 2
     r = r0 + (1.0 - r0) * (1.0 - cos_eff) ** 5

@@ -13,6 +13,7 @@ csg.rs:26-123 with parity prefix-sums.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from raytracer_tpu.core import types as T
@@ -323,7 +324,16 @@ class _Builder:
             recursion_limit=recursion_limit,
         )
 
-        return T.Scene(
+        # Device arrays from the start: eager (non-jit) rendering traces
+        # lax.scan bodies that can't index host numpy with tracers, and
+        # keeping one device-resident copy avoids re-uploading the SoA on
+        # every dispatch.
+        import jax.numpy as jnp
+
+        def dev(x):
+            return jnp.asarray(x)
+
+        return jax.tree.map(dev, T.Scene(
             mat=mat, pattern_id=pattern_id, shadow=shadow, inv_tf=inv_tf,
             normal_mat=normal_mat,
             cyl_min=cyl_min, cyl_max=cyl_max, cyl_closed=cyl_closed,
@@ -339,4 +349,4 @@ class _Builder:
             uv_kind=uv_kind, uv_wh=uv_wh, uv_colors=uv_colors,
             uv_image=uv_image, images=images, image_wh=image_wh,
             static=static,
-        )
+        ))

@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize force-updates jax_platforms to "axon,cpu" at
+# interpreter start, which silently moves "CPU" tests onto the one real
+# TPU chip; put it back before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,200 @@
+"""OBJ parser and YAML scene-interpreter oracles (reference src/obj.rs
+tests and src/scene.rs semantics)."""
+
+import math
+
+import numpy as np
+
+from raytracer_tpu import transforms as tf
+from raytracer_tpu.obj import parse_obj
+from raytracer_tpu.scene import specs as S
+from raytracer_tpu.scene.yaml_scene import eval_math, parse_scene, SceneContext
+
+
+def flat_tris(group):
+    out = []
+    for child in group.children:
+        if isinstance(child, S.Group):
+            out.extend(flat_tris(child))
+        else:
+            out.append(child)
+    return out
+
+
+def test_obj_triangles():
+    # obj.rs:49-80
+    content = """
+v -1 1 0
+v -1 0 0
+v 1 0 0
+v 1 1 0
+
+f 1 2 3
+f 1 3 4
+"""
+    g = parse_obj(content)
+    tris = flat_tris(g)
+    assert len(tris) == 2
+    t1, t2 = tris
+    assert t1.p1 == (-1, 1, 0) and t1.p2 == (-1, 0, 0) and t1.p3 == (1, 0, 0)
+    assert t2.p1 == (-1, 1, 0) and t2.p2 == (1, 0, 0) and t2.p3 == (1, 1, 0)
+
+
+def test_obj_polygon_fan():
+    # obj.rs pentagon fan-triangulation
+    content = """
+v -1 1 0
+v -1 0 0
+v 1 0 0
+v 1 1 0
+v 0 2 0
+
+f 1 2 3 4 5
+"""
+    tris = flat_tris(parse_obj(content))
+    assert len(tris) == 3
+    assert tris[2].p1 == (-1, 1, 0)
+    assert tris[2].p2 == (1, 1, 0)
+    assert tris[2].p3 == (0, 2, 0)
+
+
+def test_obj_named_groups_and_normals():
+    content = """
+v 0 1 0
+v -1 0 0
+v 1 0 0
+
+vn -1 0 0
+vn 1 0 0
+vn 0 1 0
+
+g FirstGroup
+f 1 2 3
+g SecondGroup
+f 1//3 2//1 3//2
+"""
+    g = parse_obj(content)
+    assert len(g.children) == 2
+    first = flat_tris(g.children[0])[0]
+    second = flat_tris(g.children[1])[0]
+    assert isinstance(first, S.Triangle)
+    assert isinstance(second, S.SmoothTriangle)
+    assert second.n1 == (0, 1, 0)
+    assert second.n2 == (-1, 0, 0)
+    assert second.n3 == (1, 0, 0)
+
+
+def test_eval_math():
+    assert abs(eval_math("PI/3") - math.pi / 3) < 1e-9
+    assert abs(eval_math("-PI/2") + math.pi / 2) < 1e-9
+    assert abs(eval_math(0.785) - 0.785) < 1e-12
+    assert abs(eval_math("2*PI") - math.tau) < 1e-9
+
+
+def test_define_extend_transform_merge():
+    # cover.yaml semantics: large-object = standard-transform ops + scale
+    ctx = SceneContext()
+    ctx.add_define({
+        "define": "standard-transform",
+        "transform": [["translate", 1, -1, 1], ["scale", 0.5, 0.5, 0.5]],
+    })
+    ctx.add_define({
+        "define": "large-object",
+        "extend": ["standard-transform"],
+        "transform": [["scale", 3.5, 3.5, 3.5]],
+    })
+    m, _ = ctx.transform_material({"extend": ["large-object"]})
+    expected = (
+        tf.Transform().translation(1, -1, 1).scaling(0.5, 0.5, 0.5)
+        .scaling(3.5, 3.5, 3.5).matrix
+    )
+    assert np.allclose(m, expected, atol=1e-6)
+
+
+def test_define_extend_material_merge():
+    ctx = SceneContext()
+    ctx.add_define({
+        "define": "white-material",
+        "material": {"color": [1, 1, 1], "diffuse": 0.7, "ambient": 0.1,
+                     "specular": 0.0, "reflective": 0.1},
+    })
+    ctx.add_define({
+        "define": "blue-material",
+        "extend": ["white-material"],
+        "material": {"color": [0.537, 0.831, 0.914]},
+    })
+    _, mat = ctx.transform_material({"extend": ["blue-material"]})
+    assert np.allclose(mat.color, (0.537, 0.831, 0.914))
+    assert mat.diffuse == 0.7 and mat.specular == 0.0 and mat.reflective == 0.1
+    # shape's own material overrides the extend
+    _, mat = ctx.transform_material({
+        "extend": ["blue-material"], "material": {"diffuse": 0.2},
+    })
+    assert mat.diffuse == 0.2
+    assert np.allclose(mat.color, (0.537, 0.831, 0.914))
+
+
+def test_transform_op_order():
+    # scene op lists apply in order: scale THEN translate
+    ctx = SceneContext()
+    m, _ = ctx.transform_material({
+        "transform": [["scale", 0.5, 0.5, 0.5], ["translate", 1.5, 0.5, -0.5]],
+    })
+    expected = tf.Transform().scaling(0.5, 0.5, 0.5).translation(1.5, 0.5, -0.5).matrix
+    assert np.allclose(m, expected)
+    # a point at origin maps to the translation offset
+    assert np.allclose((m @ [0, 0, 0, 1])[:3], [1.5, 0.5, -0.5])
+
+
+def test_scene_validation():
+    import pytest
+    with pytest.raises(ValueError, match="camera"):
+        parse_scene("- add: point-light\n  at: [0,0,0]\n  intensity: [1,1,1]\n")
+    with pytest.raises(ValueError, match="light"):
+        parse_scene(
+            "- add: camera\n  width: 10\n  height: 10\n"
+            "  field-of-view: 1.0\n  from: [0,0,-5]\n  to: [0,0,0]\n  up: [0,1,0]\n"
+        )
+
+
+def test_full_scene_parse():
+    text = """
+- add: camera
+  width: 32
+  height: 20
+  field-of-view: PI/3
+  from: [0, 1.5, -5]
+  to: [0, 1, 0]
+  up: [0, 1, 0]
+- add: point-light
+  at: [-10, 10, -10]
+  intensity: [1, 1, 1]
+- define: shiny
+  material:
+    reflective: 0.9
+    specular: 0.9
+- add: sphere
+  extend: [shiny]
+  transform:
+    - [translate, 0, 1, 0]
+- add: cylinder
+  min: 0
+  max: 2
+  closed: true
+- add: csg
+  op: union
+  args:
+  - kind: sphere
+  - kind: cube
+    transform:
+    - [rotate-y, PI/4]
+"""
+    cam, scene = parse_scene(text)
+    assert cam.hsize == 32 and cam.vsize == 20
+    assert abs(cam.field_of_view - math.pi / 3) < 1e-6
+    # counts: spheres (1 standalone + 1 csg), cube (csg), cylinder
+    assert scene.static.counts[0] == 2
+    assert scene.static.counts[2] == 1
+    assert scene.static.counts[3] == 1
+    assert len(scene.static.csg_nodes) == 1
+    assert scene.static.has_reflective

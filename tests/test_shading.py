@@ -1,0 +1,171 @@
+"""Phong lighting, Fresnel, refraction-index and light-sampling oracles
+(reference src/materials.rs, src/lights.rs, src/intersections.rs tests)."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracer_tpu import transforms as tf
+from raytracer_tpu.scene import specs as S
+from raytracer_tpu.scene.builder import build_scene
+from raytracer_tpu.core import intersect as I
+from raytracer_tpu.core import shading as SH
+from raytracer_tpu.core import types as T
+from raytracer_tpu.core.render import color_at
+
+S2 = math.sqrt(2.0)
+
+
+def _lighting(mat_row, surface_color, light_pos, point, eyev, normalv,
+              intensity=1.0, light_color=(1.0, 1.0, 1.0)):
+    """materials.rs lighting() for a point light: ambient + (d+s)*intensity."""
+    mat = jnp.asarray([mat_row], jnp.float32)
+    lc = jnp.asarray([light_color], jnp.float32)
+    ds = SH.phong(
+        mat, jnp.asarray([surface_color], jnp.float32), lc,
+        jnp.asarray([light_pos], jnp.float32), jnp.asarray([point], jnp.float32),
+        jnp.asarray([eyev], jnp.float32), jnp.asarray([normalv], jnp.float32),
+    )
+    ambient = jnp.asarray(surface_color) * jnp.asarray(light_color) * mat_row[T.MAT_AMBIENT]
+    return np.asarray(ambient + ds[0] * intensity)
+
+
+def default_mat(color=(1.0, 1.0, 1.0), **kw):
+    row = np.zeros(T.MAT_NCOLS, np.float32)
+    row[T.MAT_COLOR] = color
+    row[T.MAT_AMBIENT] = kw.get("ambient", 0.1)
+    row[T.MAT_DIFFUSE] = kw.get("diffuse", 0.9)
+    row[T.MAT_SPECULAR] = kw.get("specular", 0.9)
+    row[T.MAT_SHININESS] = kw.get("shininess", 200.0)
+    row[T.MAT_REFRACTIVE] = kw.get("refractive_index", 1.0)
+    return row
+
+
+def test_lighting_basics():
+    # materials.rs:189-231
+    m = default_mat()
+    pos = (0.0, 0.0, 0.0)
+    cases = [
+        # eyev, normalv, light_pos, expected
+        ((0, 0, -1), (0, 0, -1), (0, 0, -10), 1.9),
+        ((0, S2 / 2, -S2 / 2), (0, 0, -1), (0, 0, -10), 1.0),
+        ((0, 0, -1), (0, 0, -1), (0, 10, -10), 0.7364),
+        ((0, -S2 / 2, -S2 / 2), (0, 0, -1), (0, 10, -10), 1.6364),
+        ((0, 0, -1), (0, 0, -1), (0, 0, 10), 0.1),
+    ]
+    for eyev, normalv, lp, expected in cases:
+        got = _lighting(m, (1, 1, 1), lp, pos, eyev, normalv)
+        assert np.allclose(got, expected, atol=1e-4), (eyev, lp, got)
+    # zero intensity -> ambient only (materials.rs:225-230)
+    got = _lighting(m, (1, 1, 1), (0, 0, -10), pos, (0, 0, -1), (0, 0, -1), 0.0)
+    assert np.allclose(got, 0.1, atol=1e-4)
+
+
+def test_lighting_intensity_scale():
+    # materials.rs:233-263: specular=0, intensity scales diffuse only
+    m = default_mat(specular=0.0)
+    cases = [(1.0, 1.0), (0.5, 0.55), (0.0, 0.1)]
+    for intensity, expected in cases:
+        got = _lighting(m, (1, 1, 1), (0, 0, -10), (0, 0, -1),
+                        (0, 0, -1), (0, 0, -1), intensity)
+        assert np.allclose(got, expected, atol=1e-4)
+
+
+def glass_spheres_scene():
+    """intersections.rs:300-338: spheres A (scale 2, ri 1.5),
+    B (t 0,0,-0.25, ri 2.0), C (t 0,0,0.25, ri 2.5)."""
+    def glass(ri):
+        return S.Material(transparency=1.0, refractive_index=ri)
+    return build_scene([
+        S.PointLight(position=(0, 0, 0)),
+        S.Sphere(transform=tf.scaling(2.0, 2.0, 2.0), material=glass(1.5)),
+        S.Sphere(transform=tf.translation(0.0, 0.0, -0.25), material=glass(2.0)),
+        S.Sphere(transform=tf.translation(0.0, 0.0, 0.25), material=glass(2.5)),
+    ])
+
+
+def test_refraction_indices_walk():
+    sc = glass_spheres_scene()
+    o = jnp.asarray([(0.0, 0.0, -4.0)], jnp.float32)
+    d = jnp.asarray([(0.0, 0.0, 1.0)], jnp.float32)
+    ts, gid, u, v = I.sorted_hits(sc, o, d)
+    got_ts = np.asarray(ts[0])[np.isfinite(np.asarray(ts[0]))]
+    assert np.allclose(got_ts, [2.0, 2.75, 3.25, 4.75, 5.25, 6.0], atol=1e-4)
+    expected = [(1.0, 1.5), (1.5, 2.0), (2.0, 2.5),
+                (2.5, 2.5), (2.5, 1.5), (1.5, 1.0)]
+    for slot, (n1e, n2e) in enumerate(expected):
+        n1, n2 = SH.refraction_indices(sc, ts, gid, jnp.asarray([slot]))
+        assert abs(float(n1[0]) - n1e) < 1e-4, (slot, float(n1[0]))
+        assert abs(float(n2[0]) - n2e) < 1e-4, (slot, float(n2[0]))
+
+
+def test_schlick():
+    # intersections.rs:341-369
+    # total internal reflection
+    eyev = jnp.asarray([[0.0, -1.0, 0.0]])
+    normalv = jnp.asarray([[0.0, -S2 / 2, -S2 / 2]])
+    r = SH.schlick(eyev, normalv, jnp.asarray([1.5]), jnp.asarray([1.0]))
+    assert abs(float(r[0]) - 1.0) < 1e-4
+    # perpendicular viewing angle
+    eyev = jnp.asarray([[0.0, -1.0, 0.0]])
+    normalv = jnp.asarray([[0.0, -1.0, 0.0]])
+    r = SH.schlick(eyev, normalv, jnp.asarray([1.5]), jnp.asarray([1.0]))
+    assert abs(float(r[0]) - 0.04) < 1e-4
+    # small angle, n2 > n1
+    point = np.array([0.0, 0.99, -0.1411], np.float32)
+    normal = point / np.linalg.norm(point)
+    r = SH.schlick(
+        jnp.asarray([[0.0, 0.0, -1.0]]), jnp.asarray([normal]),
+        jnp.asarray([1.0]), jnp.asarray([1.5]),
+    )
+    assert abs(float(r[0]) - 0.48873) < 1e-3
+
+
+def test_area_light_deterministic_intensity():
+    # lights.rs:203-229: jitter sequence [0.7,0.3,0.9,0.1,0.5]
+    # Our renderer folds intensity into the final color; check via a
+    # diffuse-only surface lit by the area light over the default world.
+    from raytracer_tpu.core.render import shadowed
+    items = [
+        S.AreaLight(corner=(-0.5, -0.5, -5.0), uvec=(1.0, 0.0, 0.0), usteps=2,
+                    vvec=(0.0, 1.0, 0.0), vsteps=2),
+        S.Sphere(material=S.Material(color=(0.8, 1.0, 0.6), diffuse=0.7, specular=0.2)),
+        S.Sphere(transform=tf.scaling(0.5, 0.5, 0.5)),
+    ]
+    sc = build_scene(items, jitter=(0.5,))
+    # With jitter 0.5, sample points are cell centers; intensity_at of
+    # point (0,0,2) is 0 (fully shadowed by the spheres), (0,0,-2) is 1.
+    light_corner = np.array([-0.5, -0.5, -5.0])
+    centers = [light_corner + np.array([0.5 * (u + 0.5), 0.5 * (v + 0.5), 0.0])
+               for u in range(2) for v in range(2)]
+    pts = jnp.asarray([[0.0, 0.0, 2.0], [0.0, 0.0, -2.0]], jnp.float32)
+    frac = np.zeros(2)
+    for c in centers:
+        sh = np.asarray(shadowed(sc, pts, jnp.asarray(c[None], jnp.float32)))
+        frac += ~sh
+    frac /= len(centers)
+    assert frac[0] == 0.0 and frac[1] == 1.0
+
+
+def test_area_light_lighting_oracle():
+    # materials.rs:283-317 via the full pipeline: sphere at origin with
+    # striped-free material, area light 2x2 with jitter 0.5, eye at
+    # (0,0,-5). Expected lighting at point (0,0,-1): 0.9965; at
+    # (0,0.7071,-0.7071): 0.6232. Rendered color = that value (no shadow).
+    sc = build_scene([
+        S.AreaLight(corner=(-0.5, -0.5, -5.0), uvec=(1.0, 0.0, 0.0), usteps=2,
+                    vvec=(0.0, 1.0, 0.0), vsteps=2),
+        S.Sphere(material=S.Material(ambient=0.1, diffuse=0.9, specular=0.0)),
+    ], jitter=(0.5,))
+    eye = np.array([0.0, 0.0, -5.0], np.float32)
+    for pt, expected in [
+        (np.array([0.0, 0.0, -1.0]), 0.9965),
+        (np.array([0.0, 0.7071, -0.7071]), 0.6232),
+    ]:
+        d = pt - eye
+        d = d / np.linalg.norm(d)
+        got = np.asarray(color_at(
+            sc, jnp.asarray([eye]), jnp.asarray([d], jnp.float32), limit=0
+        )[0])
+        assert np.allclose(got, expected, atol=2e-3), (pt, got)
