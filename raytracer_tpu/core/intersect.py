@@ -256,14 +256,10 @@ def _tri_free_topk(scene: T.Scene, origins, directions, start, count, k):
     return bts, gid, bu, bv
 
 
-def candidate_hits(scene: T.Scene, origins, directions):
-    """All candidate intersections of a ray batch against the whole scene.
-
-    Returns (ts [R,C], gid [R,C] i32, u [R,C], v [R,C]); misses have t=+inf.
-    Column layout is static per scene: quadric families first (static gid
-    per column), then CSG triangles (dense), then the top-k reduced free
-    triangle set. CSG filtering (if any) has already been applied.
-    """
+def _static_hits(scene: T.Scene, origins, directions):
+    """Candidate intersections for the statically-laid-out region: quadric
+    families (fixed slots per primitive) then dense CSG triangles, with
+    the CSG filter already applied. Returns (ts, gid, u, v) each [R, Cs]."""
     st = scene.static
     ns, npl, ncu, ncy, nco, nt = st.counts
     off = st.offsets
@@ -330,7 +326,25 @@ def candidate_hits(scene: T.Scene, origins, directions):
         u = u.at[:, c_static - ntc :].set(tri_parts[0][2])
         v = v.at[:, c_static - ntc :].set(tri_parts[0][3])
 
-    # free triangles: top-k reduced
+    if st.csg_nodes:
+        ts = apply_csg(scene, ts, static_gids, c_static)
+
+    return ts, gid, u, v
+
+
+def candidate_hits(scene: T.Scene, origins, directions):
+    """All candidate intersections of a ray batch against the whole scene.
+
+    Returns (ts [R,C], gid [R,C] i32, u [R,C], v [R,C]); misses have t=+inf.
+    Column layout is static per scene: quadric families first (static gid
+    per column), then CSG triangles (dense), then the top-k reduced free
+    triangle set. CSG filtering (if any) has already been applied.
+    """
+    st = scene.static
+    nt = st.counts[5]
+    nt_csg = st.n_csg_tris
+    ts, gid, u, v = _static_hits(scene, origins, directions)
+
     nt_free = nt - nt_csg
     if nt_free > 0:
         k = min(TRI_TOPK, nt_free)
@@ -340,10 +354,151 @@ def candidate_hits(scene: T.Scene, origins, directions):
         u = jnp.concatenate([u, fu], -1)
         v = jnp.concatenate([v, fv], -1)
 
-    if st.csg_nodes:
-        ts = apply_csg(scene, ts, static_gids, c_static)
-
     return ts, gid, u, v
+
+
+def _tri_free_nearest(scene: T.Scene, origins, directions, start, count):
+    """Nearest positive hit over the non-CSG triangle range, chunked scan
+    with per-chunk AABB culling.
+
+    Chunks are spatially coherent (builder Morton-orders free triangles),
+    so a whole chunk whose AABB no ray in the tile enters is skipped via
+    lax.cond — the BVH-equivalent for a wide SIMD machine: cull at chunk
+    granularity instead of per-ray tree traversal (SURVEY §7.6).
+
+    Returns (t [R], gid [R], u [R], v [R]); misses have t=+inf.
+    """
+    r = origins.shape[0]
+    n_pad = -count % TRI_CHUNK
+    sl = slice(start, start + count)
+
+    def pad(x):
+        return jnp.pad(x[sl], ((0, n_pad), (0, 0)))
+
+    p1 = pad(scene.tri_p1).reshape(-1, TRI_CHUNK, 3)
+    e1 = pad(scene.tri_e1).reshape(-1, TRI_CHUNK, 3)
+    e2 = pad(scene.tri_e2).reshape(-1, TRI_CHUNK, 3)
+    # chunk AABBs from the three vertices (padding rows are degenerate
+    # at p1=0 — make them empty by masking below via count)
+    v0, v1_, v2_ = p1, p1 + e1, p1 + e2
+    bb_min = jnp.minimum(jnp.minimum(v0, v1_), v2_).min(axis=1)  # [Ch,3]
+    bb_max = jnp.maximum(jnp.maximum(v0, v1_), v2_).max(axis=1)
+    n_chunks = p1.shape[0]
+
+    inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-12, 1e-12, directions)
+
+    init = (
+        jnp.full((r,), INF),
+        jnp.zeros((r,), jnp.int32),
+        jnp.zeros((r,)),
+        jnp.zeros((r,)),
+    )
+
+    def body(carry, chunk):
+        cp1, ce1, ce2, cbase, cmin, cmax = chunk
+
+        t0 = (cmin[None] - origins) * inv_d            # [R,3]
+        t1 = (cmax[None] - origins) * inv_d
+        tmin = jnp.max(jnp.minimum(t0, t1), -1)
+        tmax = jnp.min(jnp.maximum(t0, t1), -1)
+        bt = carry[0]
+        # chunk relevant if some ray enters the AABB before its current hit
+        hit_bb = (tmin <= tmax + EPSILON) & (tmax >= 0.0) & (tmin < bt)
+
+        def run(c):
+            bt, bg, bu, bv = c
+            ts, u, v = _tri_moller_trumbore(origins, directions, cp1, ce1, ce2)
+            ts = jnp.where(ts > 0.0, ts, INF)  # hit() takes t > 0 strictly
+            j = jnp.argmin(ts, -1)
+            take = lambda x: jnp.take_along_axis(x, j[:, None], -1)[:, 0]
+            ct, cu, cv = take(ts), take(u), take(v)
+            better = ct < bt
+            return (
+                jnp.where(better, ct, bt),
+                jnp.where(better, cbase + j, bg),
+                jnp.where(better, cu, bu),
+                jnp.where(better, cv, bv),
+            )
+
+        carry = jax.lax.cond(jnp.any(hit_bb), run, lambda c: c, carry)
+        return carry, None
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * TRI_CHUNK
+    (bt, bg, bu, bv), _ = jax.lax.scan(
+        body, init, (p1, e1, e2, bases, bb_min, bb_max)
+    )
+    tri_off = sum(scene.static.counts[:5])
+    gid = tri_off + start + jnp.minimum(bg, count - 1)
+    return bt, gid, bu, bv
+
+
+def nearest_hit(scene: T.Scene, origins, directions):
+    """The reference's hit() without materializing a candidate table:
+    masked argmin over the static region merged with the chunk-culled
+    nearest mesh hit. Exact when no transparent material needs the
+    n1/n2 container walk (render picks this path from the static flags).
+
+    Returns (has [R], t [R], gid [R], u [R], v [R]).
+    """
+    st = scene.static
+    ts, gid, u, v = _static_hits(scene, origins, directions)
+    pos = (ts > 0.0) & jnp.isfinite(ts)
+    masked = jnp.where(pos, ts, INF)
+    slot = jnp.argmin(masked, -1)
+    take = lambda x: jnp.take_along_axis(x, slot[:, None], -1)[:, 0]
+    t_s, g_s, u_s, v_s = take(masked), take(gid), take(u), take(v)
+
+    nt_free = st.counts[5] - st.n_csg_tris
+    if nt_free > 0:
+        t_m, g_m, u_m, v_m = _tri_free_nearest(
+            scene, origins, directions, st.n_csg_tris, nt_free
+        )
+        better = t_m < t_s
+        t_s = jnp.where(better, t_m, t_s)
+        g_s = jnp.where(better, g_m, g_s)
+        u_s = jnp.where(better, u_m, u_s)
+        v_s = jnp.where(better, v_m, v_s)
+
+    has = jnp.isfinite(t_s)
+    return has, t_s, g_s, u_s, v_s
+
+
+def candidate_meta(static: T.SceneStatic):
+    """Static structure of the candidate column layout of
+    :func:`candidate_hits`: per-column object id, and for every column the
+    list of sibling columns belonging to the same object.
+
+    Free-triangle top-k columns carry dynamic gids but each is its own
+    object (a ray meets a given triangle once), so they have no siblings.
+    Returns (obj_of_col int32 [C], siblings list[list[int]], c_static).
+    """
+    cols = []
+    for name, slots in (("sphere", 2), ("plane", 1), ("cube", 2),
+                        ("cylinder", 4), ("cone", 4)):
+        off, n = static.family_range(name)
+        for g in range(off, off + n):
+            cols.extend([g] * slots)
+    tri_off = sum(static.counts[:5])
+    cols.extend(range(tri_off, tri_off + static.n_csg_tris))
+    c_static = max(len(cols), 1)
+    if not cols:
+        cols = [0]
+
+    nt_free = static.counts[5] - static.n_csg_tris
+    k = min(TRI_TOPK, nt_free) if nt_free > 0 else 0
+    # unique pseudo-object ids for the top-k columns
+    next_obj = (max(cols) + 1) if cols else 0
+    obj = np.asarray(cols + [next_obj + i for i in range(k)], np.int32)
+
+    by_obj = {}
+    for j, g in enumerate(cols):
+        by_obj.setdefault(g, []).append(j)
+    siblings = [
+        [k2 for k2 in by_obj.get(int(obj[j]), []) if k2 != j]
+        if j < len(cols) else []
+        for j in range(len(obj))
+    ]
+    return obj, siblings, c_static
 
 
 def _num_csg_tris(scene: T.Scene) -> int:
@@ -369,12 +524,17 @@ def sorted_hits(scene: T.Scene, origins, directions):
 
 
 def first_hit(ts, gid, u, v):
-    """hit() = first intersection with t > 0 (intersections.rs:94-96).
+    """hit() = intersection with the smallest t > 0 (intersections.rs:94-96).
+
+    Works on UNSORTED candidate tables (a masked argmin — sorting the
+    candidate axis on TPU costs ~2000x the intersection math itself in
+    HBM traffic, so the hot path never sorts).
 
     Returns (has_hit [R], t [R], gid [R], u [R], v [R], hit_slot [R]).
     """
     pos = (ts > 0.0) & jnp.isfinite(ts)
+    masked = jnp.where(pos, ts, INF)
+    slot = jnp.argmin(masked, -1)
     has = jnp.any(pos, -1)
-    slot = jnp.argmax(pos, -1)
     take = lambda x: jnp.take_along_axis(x, slot[:, None], -1)[:, 0]
     return has, take(ts), take(gid), take(u), take(v), slot

@@ -36,16 +36,13 @@ from raytracer_tpu.core.patterns import pattern_color
 
 def shadowed(scene: T.Scene, points, light_pos):
     """world.rs:101-111: nearest positive hit closer than the light and
-    casting shadows."""
+    casting shadows (the reference checks only the NEAREST hit's shadow
+    flag — a shadow:false object in front un-shadows)."""
     v = light_pos - points
     dist = jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-12)
     direction = v / dist[:, None]
-    ts, gid, _, _ = I.candidate_hits(scene, points, direction)
-    masked = jnp.where(ts > 0.0, ts, jnp.inf)
-    slot = jnp.argmin(masked, -1)
-    t = jnp.take_along_axis(masked, slot[:, None], -1)[:, 0]
-    g = jnp.take_along_axis(gid, slot[:, None], -1)[:, 0]
-    return jnp.isfinite(t) & (t < dist) & scene.shadow[g]
+    has, t, g, _, _ = I.nearest_hit(scene, points, direction)
+    return has & (t < dist) & scene.shadow[g]
 
 
 def _det_jitter_tables(static: T.SceneStatic, s_total):
@@ -125,8 +122,13 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     each spawn = (origin, direction, child_weight).
     """
     st = scene.static
-    ts, gids, us, vs = I.sorted_hits(scene, o, d)
-    has, t, gid, u, v, slot = I.first_hit(ts, gids, us, vs)
+    if st.has_transparency:
+        # the n1/n2 container walk needs the whole candidate table
+        ts, gids, us, vs = I.candidate_hits(scene, o, d)
+        has, t, gid, u, v, slot = I.first_hit(ts, gids, us, vs)
+    else:
+        has, t, gid, u, v = I.nearest_hit(scene, o, d)
+        ts = gids = slot = None
     gid = jnp.where(has, gid, 0)
     t = jnp.where(has, t, 1.0)
 
@@ -164,7 +166,7 @@ def shade_level(scene: T.Scene, o, d, weight, key):
 
     # --- secondary rays ---------------------------------------------------
     if st.has_transparency:
-        n1, n2 = SH.refraction_indices(scene, ts, gids, slot)
+        n1, n2 = SH.refraction_indices_fast(scene, ts, gids, slot)
     else:
         n1 = n2 = jnp.ones_like(t)
 

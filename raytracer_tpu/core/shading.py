@@ -144,38 +144,121 @@ def schlick(eyev, normalv, n1, n2):
     return jnp.where(tir, 1.0, r)
 
 
-def refraction_indices(scene: T.Scene, ts, gids, hit_slot):
-    """n1/n2 via the container walk (intersections.rs:141-160), as masked
-    K x K parity tests over the sorted top-K hit list instead of a stack.
+def refraction_indices_fast(scene: T.Scene, ts, gids, hit_slot):
+    """n1/n2 container walk specialized to the canonical candidate layout
+    of intersect.candidate_hits (UNSORTED, column->object map static).
 
-    A hit j is an *open container* at position h iff j occurs before h,
-    an even number of same-gid hits precede j (j opens the object), and no
-    same-gid hit lies between j and h (nothing closed it). n1 is the
-    refractive index of the latest such j (or 1.0); n2 the same evaluated
-    just after the hit toggles its own object.
+    Same math as :func:`refraction_indices` but sibling columns of each
+    object are known at compile time, so parity and latest-toggle checks
+    unroll to a handful of [R, C] ops — no [R, C, C] tensors. ~100x less
+    HBM traffic on TPU; the generic version remains as the oracle.
     """
-    k = ts.shape[-1]
-    idx = jnp.arange(k)
+    from raytracer_tpu.core.intersect import candidate_meta
+
+    obj_np, siblings, _ = candidate_meta(scene.static)
+    c = ts.shape[-1]
+    assert len(obj_np) == c, (len(obj_np), c)
+    idx = jnp.arange(c)
     valid = jnp.isfinite(ts)
-    eq = (gids[:, :, None] == gids[:, None, :]) & valid[:, :, None] & valid[:, None, :]
+    refr = scene.mat[gids, T.MAT_REFRACTIVE]               # [R, C]
 
-    lt = idx[:, None] < idx[None, :]                       # i < j
-    cnt_before = jnp.sum(eq & lt[None], axis=1)            # [R, j]
-    opening = (cnt_before % 2) == 0
+    t_h = jnp.take_along_axis(ts, hit_slot[:, None], -1)   # [R, 1]
+    before = valid & (
+        (ts < t_h) | ((ts == t_h) & (idx[None, :] < hit_slot[:, None]))
+    )                                                      # [R, C]
 
-    refr = scene.mat[gids, T.MAT_REFRACTIVE]               # [R, K]
-    gt = idx[:, None] > idx[None, :]                       # [i, j]: i > j
+    # per-column: parity of its object's toggles, and later-same-object
+    # toggle existence — static sibling unroll (<= 3 siblings/column)
+    cnt_cols, sup_cols = [], []
+    for j in range(c):
+        cj = before[:, j].astype(jnp.int32)
+        sj = jnp.zeros_like(before[:, j])
+        for k in siblings[j]:
+            cj = cj + before[:, k].astype(jnp.int32)
+            sj = sj | (before[:, k] & (
+                (ts[:, k] > ts[:, j]) | ((ts[:, k] == ts[:, j]) & (k > j))
+            ))
+        cnt_cols.append(cj)
+        sup_cols.append(sj)
+    cnt = jnp.stack(cnt_cols, axis=1)
+    superseded = jnp.stack(sup_cols, axis=1)
+    open_col = (cnt % 2) == 1
+    live = before & ~superseded & open_col
 
-    def last_open(limit_incl):                             # limit_incl [R]
-        # open at position: j <= limit, opening, no same-gid in (j, limit]
-        in_range = idx[None, :] <= limit_incl[:, None]                 # [R, j]
-        i_in = idx[None, :, None] <= limit_incl[:, None, None]         # [R, i, 1]
-        closed = jnp.any(eq & gt[None] & i_in, axis=1)                 # [R, j]
-        opened = in_range & valid & opening & ~closed
-        last = jnp.max(jnp.where(opened, idx[None, :], -1), axis=-1)
-        take = jnp.take_along_axis(refr, jnp.maximum(last, 0)[:, None], -1)[:, 0]
-        return jnp.where(last >= 0, take, 1.0)
+    def latest(mask):
+        big_t = jnp.where(mask, ts, -jnp.inf)
+        m = jnp.max(big_t, -1, keepdims=True)
+        at_max = mask & (big_t == m)
+        j = jnp.max(jnp.where(at_max, idx[None, :], -1), -1)
+        ri = jnp.take_along_axis(refr, jnp.maximum(j, 0)[:, None], -1)[:, 0]
+        return jnp.where(j >= 0, ri, 1.0)
 
-    n1 = last_open(hit_slot - 1)
-    n2 = last_open(hit_slot)
+    n1 = latest(live)
+
+    obj_cols = jnp.asarray(obj_np)
+    obj_h = jnp.take_along_axis(
+        jnp.broadcast_to(obj_cols[None, :], ts.shape), hit_slot[:, None], -1
+    )                                                       # [R, 1]
+    h_was_open = jnp.take_along_axis(open_col, hit_slot[:, None], -1)[:, 0]
+    refr_h = jnp.take_along_axis(refr, hit_slot[:, None], -1)[:, 0]
+    n2_closed_h = latest(live & (obj_cols[None, :] != obj_h))
+    n2 = jnp.where(h_was_open, n2_closed_h, refr_h)
+    return n1, n2
+
+
+def refraction_indices(scene: T.Scene, ts, gids, hit_slot):
+    """n1/n2 via the container walk (intersections.rs:141-160), computed
+    directly on the UNSORTED candidate table — no sort.
+
+    Ordering comes from pairwise lexicographic keys (t, slot) instead of
+    positions in a sorted list. Before the hit, object g is an *open
+    container* iff it toggled an odd number of times; its entry time is
+    its latest toggle. n1 = refractive index of the open container with
+    the latest entry (reference's ``containers.last()``), n2 = the same
+    after the hit toggles its own object: if the hit's object was open it
+    closes (recompute excluding it), else the hit's object becomes the
+    most recent container.
+    """
+    c = ts.shape[-1]
+    idx = jnp.arange(c)
+    valid = jnp.isfinite(ts)
+    refr = scene.mat[gids, T.MAT_REFRACTIVE]               # [R, C]
+
+    t_h = jnp.take_along_axis(ts, hit_slot[:, None], -1)   # [R, 1]
+    # strictly-before-hit by (t, slot) lexicographic order
+    before = valid & (
+        (ts < t_h) | ((ts == t_h) & (idx[None, :] < hit_slot[:, None]))
+    )                                                      # [R, C]
+
+    same = gids[:, :, None] == gids[:, None, :]            # [R, j, k]
+    b_k = before[:, None, :]                               # [R, 1, k]
+    # toggles of gid_j strictly before the hit
+    cnt = jnp.sum(same & b_k, axis=-1)                     # [R, j]
+    open_g = (cnt % 2) == 1
+
+    # k is a later toggle of j's object (still before the hit)?
+    key_gt = (ts[:, None, :] > ts[:, :, None]) | (
+        (ts[:, None, :] == ts[:, :, None])
+        & (idx[None, None, :] > idx[None, :, None])
+    )
+    superseded = jnp.any(same & b_k & key_gt, axis=-1)     # [R, j]
+    live_push = before & ~superseded & open_g              # j = current entry of an open container
+
+    def latest(mask):
+        """Index of the masked candidate with the largest (t, slot) key."""
+        big_t = jnp.where(mask, ts, -jnp.inf)
+        m = jnp.max(big_t, -1, keepdims=True)
+        at_max = mask & (big_t == m)
+        j = jnp.max(jnp.where(at_max, idx[None, :], -1), -1)
+        ri = jnp.take_along_axis(refr, jnp.maximum(j, 0)[:, None], -1)[:, 0]
+        return jnp.where(j >= 0, ri, 1.0)
+
+    n1 = latest(live_push)
+
+    gid_h = jnp.take_along_axis(gids, hit_slot[:, None], -1)           # [R, 1]
+    cnt_h = jnp.sum((gids == gid_h) & before, axis=-1)
+    h_was_open = (cnt_h % 2) == 1
+    refr_h = jnp.take_along_axis(refr, hit_slot[:, None], -1)[:, 0]
+    n2_closed_h = latest(live_push & (gids != gid_h))
+    n2 = jnp.where(h_was_open, n2_closed_h, refr_h)
     return n1, n2

@@ -22,6 +22,29 @@ from raytracer_tpu.scene import specs as S
 _DEF_UV = -1
 
 
+def _morton3(x: int, y: int, z: int) -> int:
+    """Interleave three 10-bit ints into a 30-bit Morton code."""
+    def spread(v):
+        v &= 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
+
+
+def _triangle_morton_key(row) -> int:
+    m = row["m"]
+    ps = np.asarray(row["p"], np.float32)
+    c = ps.mean(0)
+    w = (m @ np.append(c, 1.0))[:3]
+    # quantize into a fixed [-64, 64) world window (plenty for the book
+    # scenes; out-of-window triangles clamp — ordering only affects perf)
+    q = np.clip(((w + 64.0) / 128.0 * 1024.0).astype(np.int64), 0, 1023)
+    return _morton3(int(q[0]), int(q[1]), int(q[2]))
+
+
 def build_scene(
     items: list,
     *,
@@ -184,6 +207,14 @@ class _Builder:
         # CSG triangles first within the family (dense candidate columns).
         self.rows["triangle"].sort(key=lambda r: 0 if r["csg_under"] else 1)
         n_csg_tris = sum(1 for r in self.rows["triangle"] if r["csg_under"])
+        # Morton-order the free triangles by world-space centroid so the
+        # renderer's fixed-size scan chunks are spatially tight — that is
+        # what makes per-chunk AABB culling effective (the BVH-equivalent
+        # of groups.rs:284-299 for a wide-SIMD machine).
+        free = self.rows["triangle"][n_csg_tris:]
+        if len(free) > 2:
+            free.sort(key=_triangle_morton_key)
+            self.rows["triangle"][n_csg_tris:] = free
 
         counts = tuple(len(self.rows[f]) for f in T.FAMILIES)
         all_rows = [r for f in T.FAMILIES for r in self.rows[f]]

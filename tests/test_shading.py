@@ -100,6 +100,24 @@ def test_refraction_indices_walk():
         assert abs(float(n2[0]) - n2e) < 1e-4, (slot, float(n2[0]))
 
 
+def test_refraction_indices_fast_matches_general():
+    # the static-layout fast path must agree with the generic pairwise
+    # container walk on the UNSORTED candidate table
+    sc = glass_spheres_scene()
+    rng = np.random.default_rng(3)
+    o = jnp.asarray(rng.normal(0, 2, (64, 3)), jnp.float32)
+    dirs = rng.normal(0, 1, (64, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    d = jnp.asarray(dirs, jnp.float32)
+    ts, gid, u, v = I.candidate_hits(sc, o, d)
+    has, t, g, uu, vv, slot = I.first_hit(ts, gid, u, v)
+    n1a, n2a = SH.refraction_indices(sc, ts, gid, slot)
+    n1b, n2b = SH.refraction_indices_fast(sc, ts, gid, slot)
+    keep = np.asarray(has)
+    assert np.allclose(np.asarray(n1a)[keep], np.asarray(n1b)[keep])
+    assert np.allclose(np.asarray(n2a)[keep], np.asarray(n2b)[keep])
+
+
 def test_schlick():
     # intersections.rs:341-369
     # total internal reflection
