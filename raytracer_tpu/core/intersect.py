@@ -48,8 +48,8 @@ def _local_rays(inv_tf, origins, directions):
     """
     rot = inv_tf[:, :3, :3]                      # [N,3,3]
     trans = inv_tf[:, :3, 3]                     # [N,3]
-    o = jnp.einsum("nij,rj->rni", rot, origins) + trans[None]
-    d = jnp.einsum("nij,rj->rni", rot, directions)
+    o = jnp.einsum("nij,rj->rni", rot, origins, precision="highest") + trans[None]
+    d = jnp.einsum("nij,rj->rni", rot, directions, precision="highest")
     return o, d
 
 

@@ -33,9 +33,9 @@ def pattern_color(scene: T.Scene, gid, world_point):
     pid = jnp.maximum(scene.pattern_id[gid], 0)
 
     inv = scene.inv_tf[gid]                                   # [R,4,4]
-    obj_p = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point) + inv[:, :3, 3]
+    obj_p = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point, precision="highest") + inv[:, :3, 3]
     pinv = scene.pat_inv[pid]
-    p = jnp.einsum("rij,rj->ri", pinv[:, :3, :3], obj_p) + pinv[:, :3, 3]
+    p = jnp.einsum("rij,rj->ri", pinv[:, :3, :3], obj_p, precision="highest") + pinv[:, :3, 3]
 
     x, y, z = p[:, 0], p[:, 1], p[:, 2]
     a = scene.pat_a[pid]

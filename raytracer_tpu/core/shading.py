@@ -34,7 +34,7 @@ def normal_at(scene: T.Scene, gid, world_point, u, v):
     ns, npl, ncu, ncy, nco, nt = st.counts
 
     inv = scene.inv_tf[gid]
-    lp = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point) + inv[:, :3, 3]
+    lp = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point, precision="highest") + inv[:, :3, 3]
     lx, ly, lz = lp[:, 0], lp[:, 1], lp[:, 2]
 
     # sphere.rs:82-84: p - origin
@@ -88,7 +88,7 @@ def normal_at(scene: T.Scene, gid, world_point, u, v):
         local = jnp.where(in_fam[:, None], n_fam, local)
 
     # non-triangle: local normal -> world via normal matrix + normalize
-    world_n = normalize(jnp.einsum("rij,rj->ri", scene.normal_mat[gid], local))
+    world_n = normalize(jnp.einsum("rij,rj->ri", scene.normal_mat[gid], local, precision="highest"))
 
     # triangles: stored world-space normals
     if nt:
