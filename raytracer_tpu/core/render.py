@@ -240,18 +240,44 @@ def _color_at_jit(scene, origins, directions, key, limit):
     return color_at(scene, origins, directions, key, limit)
 
 
-def render(scene: T.Scene, camera, *, key=None, tile_rays=1 << 16):
+def _block_order(h, w, block):
+    """Flat pixel indices in square-block-major order. Screen-local tiles
+    give the mesh chunk culler coherent ray frusta (a row-major tile spans
+    the full image width and defeats AABB rejection)."""
+    cols = []
+    for y0 in range(0, h, block):
+        for x0 in range(0, w, block):
+            ys = np.arange(y0, min(y0 + block, h))
+            xs = np.arange(x0, min(x0 + block, w))
+            cols.append((ys[:, None] * w + xs[None, :]).ravel())
+    return np.concatenate(cols)
+
+
+def render(scene: T.Scene, camera, *, key=None, tile_rays=None):
     """Full frame -> float32 [vsize, hsize, 3] numpy image."""
     from raytracer_tpu.camera import ray_grid
 
     if key is None:
         key = jax.random.PRNGKey(0)
+    if tile_rays is None:
+        # Mesh-heavy scenes want small screen-local tiles: chunk-AABB
+        # culling rejects ~70-90% of triangle chunks for a tight ray
+        # frustum but almost none for a frame-wide one (measured 7x on a
+        # 632k-triangle scene). Small scenes prefer fewer dispatches.
+        n_free_tris = scene.static.counts[5] - scene.static.n_csg_tris
+        tile_rays = 1 << 13 if n_free_tris > 20000 else 1 << 16
     # Pin the scene tables on device once; otherwise every tile dispatch
     # re-transfers the whole SoA from host (catastrophic over remote TPU).
     scene = jax.device_put(scene)
     origins, directions = ray_grid(camera)
     n = origins.shape[0]
     tile = min(tile_rays, n)
+
+    order = _block_order(camera.vsize, camera.hsize, max(int(tile ** 0.5), 1))
+    order_j = jnp.asarray(order)
+    origins = origins[order_j]
+    directions = directions[order_j]
+
     n_pad = -n % tile
     if n_pad:
         origins = jnp.pad(origins, ((0, n_pad), (0, 0)))
@@ -267,5 +293,7 @@ def render(scene: T.Scene, camera, *, key=None, tile_rays=1 << 16):
                 tkey, scene.static.recursion_limit,
             )
         )
-    img = jnp.concatenate(parts, 0)[:n]
-    return np.asarray(img, np.float32).reshape(camera.vsize, camera.hsize, 3)
+    img = np.asarray(jnp.concatenate(parts, 0)[:n], np.float32)
+    out = np.empty_like(img)
+    out[order] = img
+    return out.reshape(camera.vsize, camera.hsize, 3)

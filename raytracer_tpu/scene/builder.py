@@ -22,27 +22,24 @@ from raytracer_tpu.scene import specs as S
 _DEF_UV = -1
 
 
-def _morton3(x: int, y: int, z: int) -> int:
-    """Interleave three 10-bit ints into a 30-bit Morton code."""
+def _triangle_morton_keys(rows) -> np.ndarray:
+    """Vectorized Morton codes of world-space triangle centroids."""
+    m = np.stack([r["m"] for r in rows]).astype(np.float32)      # [N,4,4]
+    c = np.stack([np.asarray(r["p"], np.float32) for r in rows]).mean(1)
+    w = np.einsum("nij,nj->ni", m[:, :3, :3], c) + m[:, :3, 3]
+    # quantize into a fixed [-64, 64) world window (plenty for the book
+    # scenes; out-of-window triangles clamp — ordering only affects perf)
+    q = np.clip(((w + 64.0) / 128.0 * 1024.0).astype(np.int64), 0, 1023)
+
     def spread(v):
-        v &= 0x3FF
+        v = v & 0x3FF
         v = (v | (v << 16)) & 0x030000FF
         v = (v | (v << 8)) & 0x0300F00F
         v = (v | (v << 4)) & 0x030C30C3
         v = (v | (v << 2)) & 0x09249249
         return v
-    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
 
-
-def _triangle_morton_key(row) -> int:
-    m = row["m"]
-    ps = np.asarray(row["p"], np.float32)
-    c = ps.mean(0)
-    w = (m @ np.append(c, 1.0))[:3]
-    # quantize into a fixed [-64, 64) world window (plenty for the book
-    # scenes; out-of-window triangles clamp — ordering only affects perf)
-    q = np.clip(((w + 64.0) / 128.0 * 1024.0).astype(np.int64), 0, 1023)
-    return _morton3(int(q[0]), int(q[1]), int(q[2]))
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
 
 
 def build_scene(
@@ -213,8 +210,9 @@ class _Builder:
         # of groups.rs:284-299 for a wide-SIMD machine).
         free = self.rows["triangle"][n_csg_tris:]
         if len(free) > 2:
-            free.sort(key=_triangle_morton_key)
-            self.rows["triangle"][n_csg_tris:] = free
+            keys = _triangle_morton_keys(free)
+            order = np.argsort(keys, kind="stable")
+            self.rows["triangle"][n_csg_tris:] = [free[i] for i in order]
 
         counts = tuple(len(self.rows[f]) for f in T.FAMILIES)
         all_rows = [r for f in T.FAMILIES for r in self.rows[f]]
@@ -227,13 +225,15 @@ class _Builder:
         normal_mat = np.tile(np.eye(3, dtype=np.float32), (max(g, 1), 1, 1))
         csg_members = []
 
+        if g:
+            mat[:g] = np.stack([r["mat"] for r in all_rows])
+            pattern_id[:g] = [r["pattern_id"] for r in all_rows]
+            shadow[:g] = [r["shadow"] for r in all_rows]
+            m_all = np.stack([r["m"] for r in all_rows]).astype(np.float64)
+            inv_all = np.linalg.inv(m_all).astype(np.float32)  # batched
+            inv_tf[:g] = inv_all
+            normal_mat[:g] = inv_all.transpose(0, 2, 1)[:, :3, :3]
         for i, r in enumerate(all_rows):
-            mat[i] = r["mat"]
-            pattern_id[i] = r["pattern_id"]
-            shadow[i] = r["shadow"]
-            inv = np.linalg.inv(r["m"]).astype(np.float32)
-            inv_tf[i] = inv
-            normal_mat[i] = inv.T[:3, :3]
             if r["csg_under"]:
                 csg_members.append((i, int(r["csg_under"]), int(r["csg_left"])))
 
@@ -248,38 +248,47 @@ class _Builder:
         cyl_min, cyl_max, cyl_closed = _mm("cylinder")
         cone_min, cone_max, cone_closed = _mm("cone")
 
-        # triangles -> world space
+        # triangles -> world space (fully batched: meshes reach 1e6 rows)
         tris = self.rows["triangle"]
         nt = len(tris)
-        tri_p1 = np.zeros((nt, 3), np.float32)
-        tri_e1 = np.zeros((nt, 3), np.float32)
-        tri_e2 = np.zeros((nt, 3), np.float32)
-        tri_n = [np.zeros((nt, 3), np.float32) for _ in range(3)]
-        tri_flat = np.zeros((nt, 3), np.float32)
-        tri_smooth = np.zeros(nt, bool)
-        tri_off = sum(counts[:5])
-        for i, r in enumerate(tris):
-            m = r["m"]
-            nm = np.linalg.inv(m).astype(np.float32).T[:3, :3]
-            p1, p2, p3 = (np.asarray(p, np.float32) for p in r["p"])
-            w1 = (m @ np.append(p1, 1.0))[:3]
-            w2 = (m @ np.append(p2, 1.0))[:3]
-            w3 = (m @ np.append(p3, 1.0))[:3]
-            tri_p1[i], tri_e1[i], tri_e2[i] = w1, w2 - w1, w3 - w1
+        if nt:
+            m_t = np.stack([r["m"] for r in tris]).astype(np.float32)   # [Nt,4,4]
+            p_t = np.stack(
+                [np.asarray(r["p"], np.float32) for r in tris]
+            )                                                            # [Nt,3,3]
+            nm_t = np.linalg.inv(m_t.astype(np.float64)).astype(
+                np.float32
+            ).transpose(0, 2, 1)[:, :3, :3]
+            w = np.einsum("nij,nkj->nki", m_t[:, :3, :3], p_t) + m_t[:, None, :3, 3]
+            tri_p1 = w[:, 0].astype(np.float32)
+            tri_e1 = (w[:, 1] - w[:, 0]).astype(np.float32)
+            tri_e2 = (w[:, 2] - w[:, 0]).astype(np.float32)
             # flat normal: object-space normalize(e2 x e1) (triangle.rs:32-48)
             # then through the normal matrix, final normalize.
-            e1o, e2o = p2 - p1, p3 - p1
+            e1o = p_t[:, 1] - p_t[:, 0]
+            e2o = p_t[:, 2] - p_t[:, 0]
             n_obj = np.cross(e2o, e1o)
-            n_obj = n_obj / (np.linalg.norm(n_obj) or 1.0)
-            n_w = nm @ n_obj
-            tri_flat[i] = n_w / (np.linalg.norm(n_w) or 1.0)
-            if r["smooth"]:
-                tri_smooth[i] = True
-                for k in range(3):
-                    tri_n[k][i] = nm @ np.asarray(r["n"][k], np.float32)
-            else:
-                for k in range(3):
-                    tri_n[k][i] = tri_flat[i]
+            n_obj /= np.maximum(np.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-30)
+            n_w = np.einsum("nij,nj->ni", nm_t, n_obj)
+            tri_flat = (
+                n_w / np.maximum(np.linalg.norm(n_w, axis=-1, keepdims=True), 1e-30)
+            ).astype(np.float32)
+            tri_smooth = np.array([bool(r["smooth"]) for r in tris])
+            n_t = np.stack([
+                np.asarray(r["n"], np.float32) if r["smooth"]
+                else np.zeros((3, 3), np.float32)
+                for r in tris
+            ])                                                           # [Nt,3,3]
+            n_world = np.einsum("nij,nkj->nki", nm_t, n_t).astype(np.float32)
+            sm = tri_smooth[:, None]
+            tri_n = [
+                np.where(sm, n_world[:, k], tri_flat) for k in range(3)
+            ]
+        else:
+            tri_p1 = tri_e1 = tri_e2 = np.zeros((0, 3), np.float32)
+            tri_flat = np.zeros((0, 3), np.float32)
+            tri_smooth = np.zeros(0, bool)
+            tri_n = [np.zeros((0, 3), np.float32) for _ in range(3)]
 
         # lights
         lp = self.point_lights
