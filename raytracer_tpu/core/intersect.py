@@ -358,6 +358,46 @@ def candidate_hits(scene: T.Scene, origins, directions):
 
 
 def _tri_free_nearest(scene: T.Scene, origins, directions, start, count):
+    """Nearest positive hit over the non-CSG triangle range.
+
+    On TPU with a mid-size mesh this dispatches to the Pallas kernel
+    (ops/mesh_pallas.py) — per-subtile chunk culling in VMEM (2x over the
+    XLA path at teapot scale). Very large meshes stay on the lax.scan
+    path: the kernel's per-chunk loop iteration overhead overtakes its
+    finer culling once the chunk count reaches the thousands (a
+    two-level in-kernel AABB hierarchy would lift this; future work).
+    """
+    if (jax.default_backend() == "tpu"
+            and 4 * TRI_CHUNK <= count <= 512 * TRI_CHUNK):
+        return _tri_free_nearest_pallas(scene, origins, directions, start, count)
+    return _tri_free_nearest_scan(scene, origins, directions, start, count)
+
+
+def _tri_free_nearest_pallas(scene, origins, directions, start, count):
+    from raytracer_tpu.ops import mesh_pallas as MP
+
+    sl = slice(start, start + count)
+    tri, bb = MP.pack_tri_planes(
+        scene.tri_p1[sl], scene.tri_e1[sl], scene.tri_e2[sl]
+    )
+    r = origins.shape[0]
+    pad = -r % MP.RT
+    if pad:
+        origins = jnp.concatenate(
+            [origins, jnp.zeros((pad, 3), origins.dtype)]
+        )
+        directions = jnp.concatenate(
+            [directions,
+             jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))]
+        )
+    t, idx, u, v = MP.mesh_nearest(origins, directions, tri, bb)
+    t, idx, u, v = t[:r], idx[:r], u[:r], v[:r]
+    tri_off = sum(scene.static.counts[:5])
+    gid = tri_off + start + jnp.minimum(idx, count - 1)
+    return t, gid, u, v
+
+
+def _tri_free_nearest_scan(scene: T.Scene, origins, directions, start, count):
     """Nearest positive hit over the non-CSG triangle range, chunked scan
     with per-chunk AABB culling.
 
