@@ -42,12 +42,19 @@ def quantize_u8(pixels: np.ndarray) -> np.ndarray:
 
 def to_ppm_bytes(pixels: np.ndarray) -> bytes:
     """ASCII P3 PPM, maxval 255. ``pixels`` is [h, w, 3] float32."""
+    from raytracer_tpu import native
+
     h, w = pixels.shape[:2]
     q = quantize_u8(pixels).reshape(-1)
-    body = "\n".join(
+    header = f"P3\n{w} {h}\n255\n".encode()
+    body = native.ppm_encode_body(q)
+    if body is not None:
+        out = header + body
+        return out if out.endswith(b"\n") else out + b"\n"
+    text = "\n".join(
         " ".join(chunk) for chunk in _chunked(q.astype(str), 15)
     )
-    return f"P3\n{w} {h}\n255\n{body}\n".encode()
+    return header + text.encode() + b"\n"
 
 
 def _chunked(arr, size):

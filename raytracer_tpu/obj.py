@@ -1,10 +1,13 @@
-"""Wavefront OBJ parser → Group of (Smooth)Triangles.
+"""Wavefront OBJ parser → Group of triangle Meshes.
 
 Mirrors the reference's obj ingestion (/root/reference/src/obj.rs:8-41):
-per-OBJ-group child Groups, polygon faces fan-triangulated, vertex normals
-on all three corners → SmoothTriangle, else flat Triangle, one material
-applied to every triangle. Pure host-side code (numpy lists); the
-triangles land in the device SoA via the scene builder.
+per-OBJ-group children, polygon faces fan-triangulated, vertex normals
+on all three corners → smooth shading, else flat; one material applied
+to every triangle. Output is one array-backed :class:`specs.Mesh` per
+OBJ group — megabyte meshes never become per-triangle Python objects.
+
+Parsing runs through the native C++ tokenizer (native/io_native.cpp)
+when available, with a pure-Python fallback of identical semantics.
 
 Supported face syntax: ``f v``, ``f v/vt``, ``f v//vn``, ``f v/vt/vn``,
 with negative (relative) indices as in the OBJ spec.
@@ -12,11 +15,14 @@ with negative (relative) indices as in the OBJ spec.
 
 from __future__ import annotations
 
+import numpy as np
+
+from raytracer_tpu import native
 from raytracer_tpu.scene import specs as S
 
 
 def parse_obj(source, material: S.Material | None = None) -> S.Group:
-    """Parse OBJ text (str, bytes or file-like) into a Group of triangles."""
+    """Parse OBJ text (str, bytes or file-like) into a Group of Meshes."""
     if hasattr(source, "read"):
         source = source.read()
     if isinstance(source, bytes):
@@ -24,13 +30,36 @@ def parse_obj(source, material: S.Material | None = None) -> S.Group:
     if material is None:
         material = S.Material()
 
-    vertices: list = []
-    normals: list = []
-    groups: dict[str, list] = {}
-    current = "default"
+    parsed = native.parse_obj_arrays(source)
+    if parsed is None:
+        parsed = _parse_obj_python(source)
+    verts, norms, tri_v, tri_n, tri_g = parsed
 
-    def faces_of(group_name):
-        return groups.setdefault(group_name, [])
+    out = S.Group()
+    if len(tri_v) == 0:
+        return out
+    for g in np.unique(tri_g):
+        sel = tri_g == g
+        tv = tri_v[sel]                                   # [N,3]
+        tn = tri_n[sel]
+        p = verts[tv]                                     # [N,3,3]
+        smooth = (tn >= 0).all(axis=1)
+        n = np.zeros_like(p)
+        if smooth.any():
+            safe = np.maximum(tn, 0)
+            n = np.where(smooth[:, None, None], norms[safe], 0.0)
+        out.children.append(
+            S.Mesh(p=p, n=n, smooth=smooth, material=material)
+        )
+    return out
+
+
+def _parse_obj_python(source: str):
+    """Pure-Python fallback with the same array output contract."""
+    vertices, normals = [], []
+    tri_v, tri_n, tri_g = [], [], []
+    group = 0
+    group_has = False
 
     for raw in source.splitlines():
         line = raw.strip()
@@ -39,52 +68,40 @@ def parse_obj(source, material: S.Material | None = None) -> S.Group:
         parts = line.split()
         tag = parts[0]
         if tag == "v":
-            vertices.append(tuple(float(x) for x in parts[1:4]))
+            vertices.append([float(x) for x in parts[1:4]])
         elif tag == "vn":
-            normals.append(tuple(float(x) for x in parts[1:4]))
+            normals.append([float(x) for x in parts[1:4]])
         elif tag in ("g", "o"):
-            current = parts[1] if len(parts) > 1 else "default"
+            if group_has:
+                group += 1
+                group_has = False
         elif tag == "f":
-            corners = [_parse_corner(tok) for tok in parts[1:]]
-            # fan triangulation (wavefront crate's triangles())
+            corners = [_parse_corner(tok, len(vertices), len(normals))
+                       for tok in parts[1:]]
             for i in range(1, len(corners) - 1):
-                faces_of(current).append((corners[0], corners[i], corners[i + 1]))
+                a, b, c = corners[0], corners[i], corners[i + 1]
+                tri_v.append([a[0], b[0], c[0]])
+                tri_n.append([a[1], b[1], c[1]])
+                tri_g.append(group)
+                group_has = True
 
-    out = S.Group()
-    for _, faces in groups.items():
-        child = S.Group()
-        for (a, b, c) in faces:
-            p1 = _resolve(vertices, a[0])
-            p2 = _resolve(vertices, b[0])
-            p3 = _resolve(vertices, c[0])
-            if a[1] is not None and b[1] is not None and c[1] is not None:
-                child.children.append(
-                    S.SmoothTriangle(
-                        p1=p1, p2=p2, p3=p3,
-                        n1=_resolve(normals, a[1]),
-                        n2=_resolve(normals, b[1]),
-                        n3=_resolve(normals, c[1]),
-                        material=material,
-                    )
-                )
-            else:
-                child.children.append(
-                    S.Triangle(p1=p1, p2=p2, p3=p3, material=material)
-                )
-        out.children.append(child)
-    return out
+    return (
+        np.asarray(vertices, np.float32).reshape(-1, 3),
+        np.asarray(normals, np.float32).reshape(-1, 3),
+        np.asarray(tri_v, np.int64).reshape(-1, 3),
+        np.asarray(tri_n, np.int64).reshape(-1, 3),
+        np.asarray(tri_g, np.int64),
+    )
 
 
-def _parse_corner(token: str):
-    """Face corner ``v[/vt[/vn]]`` → (vertex_idx, normal_idx or None)."""
+def _parse_corner(token: str, nv: int, nn: int):
+    """Face corner ``v[/vt[/vn]]`` → (vertex_idx, normal_idx or -1),
+    0-based, negative indices resolved against the current counts."""
     fields = token.split("/")
     v = int(fields[0])
-    vn = None
+    v = v - 1 if v > 0 else nv + v
+    n = -1
     if len(fields) == 3 and fields[2]:
-        vn = int(fields[2])
-    return v, vn
-
-
-def _resolve(table, idx):
-    """1-based OBJ index (negative = relative to end) → tuple."""
-    return table[idx - 1] if idx > 0 else table[idx]
+        n = int(fields[2])
+        n = n - 1 if n > 0 else nn + n
+    return v, n

@@ -22,11 +22,8 @@ from raytracer_tpu.scene import specs as S
 _DEF_UV = -1
 
 
-def _triangle_morton_keys(rows) -> np.ndarray:
-    """Vectorized Morton codes of world-space triangle centroids."""
-    m = np.stack([r["m"] for r in rows]).astype(np.float32)      # [N,4,4]
-    c = np.stack([np.asarray(r["p"], np.float32) for r in rows]).mean(1)
-    w = np.einsum("nij,nj->ni", m[:, :3, :3], c) + m[:, :3, 3]
+def _morton_keys(w: np.ndarray) -> np.ndarray:
+    """Vectorized Morton codes of world-space points [N, 3]."""
     # quantize into a fixed [-64, 64) world window (plenty for the book
     # scenes; out-of-window triangles clamp — ordering only affects perf)
     q = np.clip(((w + 64.0) / 128.0 * 1024.0).astype(np.int64), 0, 1023)
@@ -70,6 +67,7 @@ class _Builder:
         self.rows = {name: [] for name in T.FAMILIES}
         self.point_lights = []
         self.area_lights = []
+        self.mesh_blocks = []  # array-backed triangle blocks (S.Mesh)
         self.csg_nodes = []  # (op_code, bit, root_bit)
         self._csg_bit = 0
         # pattern / uv / image tables
@@ -133,6 +131,14 @@ class _Builder:
         elif isinstance(shape, S.Cone):
             common.update(min=shape.min, max=shape.max, closed=shape.closed)
             self.rows["cone"].append(common)
+        elif isinstance(shape, S.Mesh):
+            if csg_under:
+                raise ValueError("Mesh blocks cannot be CSG leaves")
+            self.mesh_blocks.append(dict(
+                m=common["m"], p=shape.p, n=shape.n, smooth=shape.smooth,
+                mat=common["mat"], pattern_id=common["pattern_id"],
+                shadow=common["shadow"],
+            ))
         elif isinstance(shape, (S.Triangle, S.SmoothTriangle)):
             smooth = isinstance(shape, S.SmoothTriangle)
             common.update(
@@ -200,23 +206,81 @@ class _Builder:
 
     # --- finish -----------------------------------------------------------
 
-    def finish(self, *, jitter, top_k, recursion_limit) -> T.Scene:
-        # CSG triangles first within the family (dense candidate columns).
-        self.rows["triangle"].sort(key=lambda r: 0 if r["csg_under"] else 1)
-        n_csg_tris = sum(1 for r in self.rows["triangle"] if r["csg_under"])
-        # Morton-order the free triangles by world-space centroid so the
-        # renderer's fixed-size scan chunks are spatially tight — that is
-        # what makes per-chunk AABB culling effective (the BVH-equivalent
-        # of groups.rs:284-299 for a wide-SIMD machine).
-        free = self.rows["triangle"][n_csg_tris:]
-        if len(free) > 2:
-            keys = _triangle_morton_keys(free)
-            order = np.argsort(keys, kind="stable")
-            self.rows["triangle"][n_csg_tris:] = [free[i] for i in order]
+    def _triangle_batches(self):
+        """Unified per-triangle arrays from individual rows + mesh blocks.
 
-        counts = tuple(len(self.rows[f]) for f in T.FAMILIES)
-        all_rows = [r for f in T.FAMILIES for r in self.rows[f]]
-        g = len(all_rows)
+        Returns a dict of arrays: m [Nt,4,4], p [Nt,3,3] (object space),
+        n [Nt,3,3], smooth [Nt], mat [Nt,NCOLS], pattern_id [Nt],
+        shadow [Nt], csg_under [Nt], csg_left [Nt]. Individual CSG rows
+        come first (dense candidate columns need them leading).
+        """
+        batches = []
+        rows = sorted(
+            self.rows["triangle"], key=lambda r: 0 if r["csg_under"] else 1
+        )
+        if rows:
+            batches.append(dict(
+                m=np.stack([r["m"] for r in rows]).astype(np.float32),
+                p=np.stack([np.asarray(r["p"], np.float32) for r in rows]),
+                n=np.stack([
+                    np.asarray(r["n"], np.float32) if r["smooth"]
+                    else np.zeros((3, 3), np.float32) for r in rows
+                ]),
+                smooth=np.array([bool(r["smooth"]) for r in rows]),
+                mat=np.stack([r["mat"] for r in rows]),
+                pattern_id=np.array([r["pattern_id"] for r in rows], np.int32),
+                shadow=np.array([r["shadow"] for r in rows], bool),
+                csg_under=np.array([r["csg_under"] for r in rows], np.int64),
+                csg_left=np.array([r["csg_left"] for r in rows], np.int64),
+            ))
+        for blk in self.mesh_blocks:
+            n = blk["p"].shape[0]
+            batches.append(dict(
+                m=np.broadcast_to(blk["m"], (n, 4, 4)),
+                p=blk["p"], n=blk["n"], smooth=blk["smooth"],
+                mat=np.broadcast_to(blk["mat"], (n, T.MAT_NCOLS)),
+                pattern_id=np.full(n, blk["pattern_id"], np.int32),
+                shadow=np.full(n, blk["shadow"], bool),
+                csg_under=np.zeros(n, np.int64),
+                csg_left=np.zeros(n, np.int64),
+            ))
+        if not batches:
+            return None
+        keys = ("m", "p", "n", "smooth", "mat", "pattern_id", "shadow",
+                "csg_under", "csg_left")
+        return {k: np.concatenate([b[k] for b in batches]) for k in keys}
+
+    def finish(self, *, jitter, top_k, recursion_limit) -> T.Scene:
+        tb = self._triangle_batches()
+        nt = 0 if tb is None else tb["p"].shape[0]
+        n_csg_tris = 0 if tb is None else int((tb["csg_under"] != 0).sum())
+
+        if tb is not None:
+            # world-space corners (needed for Morton keys and the SoA)
+            w = np.einsum(
+                "nij,nkj->nki", tb["m"][:, :3, :3], tb["p"]
+            ) + tb["m"][:, None, :3, 3]
+            # Morton-order the free triangles by world-space centroid so
+            # the renderer's fixed-size scan chunks are spatially tight —
+            # that's what makes chunk-AABB culling effective (the
+            # BVH-equivalent of groups.rs:284-299 for a wide-SIMD machine)
+            if nt - n_csg_tris > 2:
+                keys = _morton_keys(w[n_csg_tris:].mean(axis=1))
+                order = np.concatenate([
+                    np.arange(n_csg_tris),
+                    n_csg_tris + np.argsort(keys, kind="stable"),
+                ])
+                tb = {k: v[order] for k, v in tb.items()}
+                w = w[order]
+
+        counts = tuple(
+            len(self.rows[f]) if f != "triangle" else nt for f in T.FAMILIES
+        )
+        all_rows = [
+            r for f in T.FAMILIES if f != "triangle" for r in self.rows[f]
+        ]
+        g_nt = len(all_rows)          # non-triangle gid count
+        g = g_nt + nt
 
         mat = np.zeros((max(g, 1), T.MAT_NCOLS), np.float32)
         pattern_id = np.full(max(g, 1), -1, np.int32)
@@ -225,14 +289,14 @@ class _Builder:
         normal_mat = np.tile(np.eye(3, dtype=np.float32), (max(g, 1), 1, 1))
         csg_members = []
 
-        if g:
-            mat[:g] = np.stack([r["mat"] for r in all_rows])
-            pattern_id[:g] = [r["pattern_id"] for r in all_rows]
-            shadow[:g] = [r["shadow"] for r in all_rows]
+        if g_nt:
+            mat[:g_nt] = np.stack([r["mat"] for r in all_rows])
+            pattern_id[:g_nt] = [r["pattern_id"] for r in all_rows]
+            shadow[:g_nt] = [r["shadow"] for r in all_rows]
             m_all = np.stack([r["m"] for r in all_rows]).astype(np.float64)
             inv_all = np.linalg.inv(m_all).astype(np.float32)  # batched
-            inv_tf[:g] = inv_all
-            normal_mat[:g] = inv_all.transpose(0, 2, 1)[:, :3, :3]
+            inv_tf[:g_nt] = inv_all
+            normal_mat[:g_nt] = inv_all.transpose(0, 2, 1)[:, :3, :3]
         for i, r in enumerate(all_rows):
             if r["csg_under"]:
                 csg_members.append((i, int(r["csg_under"]), int(r["csg_left"])))
@@ -249,22 +313,26 @@ class _Builder:
         cone_min, cone_max, cone_closed = _mm("cone")
 
         # triangles -> world space (fully batched: meshes reach 1e6 rows)
-        tris = self.rows["triangle"]
-        nt = len(tris)
         if nt:
-            m_t = np.stack([r["m"] for r in tris]).astype(np.float32)   # [Nt,4,4]
-            p_t = np.stack(
-                [np.asarray(r["p"], np.float32) for r in tris]
-            )                                                            # [Nt,3,3]
-            nm_t = np.linalg.inv(m_t.astype(np.float64)).astype(
-                np.float32
-            ).transpose(0, 2, 1)[:, :3, :3]
-            w = np.einsum("nij,nkj->nki", m_t[:, :3, :3], p_t) + m_t[:, None, :3, 3]
+            mat[g_nt:g] = tb["mat"]
+            pattern_id[g_nt:g] = tb["pattern_id"]
+            shadow[g_nt:g] = tb["shadow"]
+            m_t = tb["m"]
+            inv_t = np.linalg.inv(m_t.astype(np.float64)).astype(np.float32)
+            inv_tf[g_nt:g] = inv_t
+            nm_t = inv_t.transpose(0, 2, 1)[:, :3, :3]
+            normal_mat[g_nt:g] = nm_t
+            for i in np.nonzero(tb["csg_under"])[0]:
+                csg_members.append((
+                    g_nt + int(i), int(tb["csg_under"][i]), int(tb["csg_left"][i])
+                ))
+
             tri_p1 = w[:, 0].astype(np.float32)
             tri_e1 = (w[:, 1] - w[:, 0]).astype(np.float32)
             tri_e2 = (w[:, 2] - w[:, 0]).astype(np.float32)
             # flat normal: object-space normalize(e2 x e1) (triangle.rs:32-48)
             # then through the normal matrix, final normalize.
+            p_t = tb["p"]
             e1o = p_t[:, 1] - p_t[:, 0]
             e2o = p_t[:, 2] - p_t[:, 0]
             n_obj = np.cross(e2o, e1o)
@@ -273,13 +341,8 @@ class _Builder:
             tri_flat = (
                 n_w / np.maximum(np.linalg.norm(n_w, axis=-1, keepdims=True), 1e-30)
             ).astype(np.float32)
-            tri_smooth = np.array([bool(r["smooth"]) for r in tris])
-            n_t = np.stack([
-                np.asarray(r["n"], np.float32) if r["smooth"]
-                else np.zeros((3, 3), np.float32)
-                for r in tris
-            ])                                                           # [Nt,3,3]
-            n_world = np.einsum("nij,nkj->nki", nm_t, n_t).astype(np.float32)
+            tri_smooth = tb["smooth"]
+            n_world = np.einsum("nij,nkj->nki", nm_t, tb["n"]).astype(np.float32)
             sm = tri_smooth[:, None]
             tri_n = [
                 np.where(sm, n_world[:, k], tri_flat) for k in range(3)

@@ -154,7 +154,33 @@ class SmoothTriangle(_ShapeBase):
     n3: tuple = (0.0, 0.0, 1.0)
 
 
-ShapeSpec = Union[Sphere, Plane, Cube, Cylinder, Cone, Triangle, SmoothTriangle]
+@dataclass
+class Mesh(_ShapeBase):
+    """A block of triangles as arrays — the scalable form of a triangle
+    soup (OBJ meshes land here; per-triangle specs stay for small counts).
+
+    p: [N, 3, 3] corner positions; n: [N, 3, 3] shading normals (rows
+    meaningful where ``smooth``); smooth: [N] bool.
+    """
+
+    p: Optional[np.ndarray] = None
+    n: Optional[np.ndarray] = None
+    smooth: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        self.p = np.asarray(self.p, np.float32)
+        nt = self.p.shape[0]
+        if self.n is None:
+            self.n = np.zeros((nt, 3, 3), np.float32)
+        else:
+            self.n = np.asarray(self.n, np.float32)
+        if self.smooth is None:
+            self.smooth = np.zeros(nt, bool)
+        else:
+            self.smooth = np.asarray(self.smooth, bool)
+
+
+ShapeSpec = Union[Sphere, Plane, Cube, Cylinder, Cone, Triangle, SmoothTriangle, Mesh]
 
 
 @dataclass

@@ -11,11 +11,11 @@ from raytracer_tpu.scene import specs as S
 from raytracer_tpu.scene.yaml_scene import eval_math, parse_scene, SceneContext
 
 
-def flat_tris(group):
+def all_meshes(group):
     out = []
     for child in group.children:
         if isinstance(child, S.Group):
-            out.extend(flat_tris(child))
+            out.extend(all_meshes(child))
         else:
             out.append(child)
     return out
@@ -32,12 +32,11 @@ v 1 1 0
 f 1 2 3
 f 1 3 4
 """
-    g = parse_obj(content)
-    tris = flat_tris(g)
-    assert len(tris) == 2
-    t1, t2 = tris
-    assert t1.p1 == (-1, 1, 0) and t1.p2 == (-1, 0, 0) and t1.p3 == (1, 0, 0)
-    assert t2.p1 == (-1, 1, 0) and t2.p2 == (1, 0, 0) and t2.p3 == (1, 1, 0)
+    mesh = all_meshes(parse_obj(content))[0]
+    assert mesh.p.shape == (2, 3, 3)
+    assert np.allclose(mesh.p[0], [(-1, 1, 0), (-1, 0, 0), (1, 0, 0)])
+    assert np.allclose(mesh.p[1], [(-1, 1, 0), (1, 0, 0), (1, 1, 0)])
+    assert not mesh.smooth.any()
 
 
 def test_obj_polygon_fan():
@@ -51,11 +50,9 @@ v 0 2 0
 
 f 1 2 3 4 5
 """
-    tris = flat_tris(parse_obj(content))
-    assert len(tris) == 3
-    assert tris[2].p1 == (-1, 1, 0)
-    assert tris[2].p2 == (1, 1, 0)
-    assert tris[2].p3 == (0, 2, 0)
+    mesh = all_meshes(parse_obj(content))[0]
+    assert mesh.p.shape == (3, 3, 3)
+    assert np.allclose(mesh.p[2], [(-1, 1, 0), (1, 1, 0), (0, 2, 0)])
 
 
 def test_obj_named_groups_and_normals():
@@ -74,14 +71,36 @@ g SecondGroup
 f 1//3 2//1 3//2
 """
     g = parse_obj(content)
-    assert len(g.children) == 2
-    first = flat_tris(g.children[0])[0]
-    second = flat_tris(g.children[1])[0]
-    assert isinstance(first, S.Triangle)
-    assert isinstance(second, S.SmoothTriangle)
-    assert second.n1 == (0, 1, 0)
-    assert second.n2 == (-1, 0, 0)
-    assert second.n3 == (1, 0, 0)
+    meshes = all_meshes(g)
+    assert len(meshes) == 2
+    first, second = meshes
+    assert not first.smooth.any()
+    assert second.smooth.all()
+    assert np.allclose(second.n[0], [(0, 1, 0), (-1, 0, 0), (1, 0, 0)])
+
+
+def test_obj_python_fallback_matches_native():
+    from raytracer_tpu import native
+    from raytracer_tpu.obj import _parse_obj_python
+    content = """
+v 0 1 0
+v -1 0 0
+v 1 0 0
+v 2 2 0
+vn 0 0 1
+g A
+f 1 2 3
+f 1 3 4
+g B
+f 1//1 2//1 3//1
+"""
+    py = _parse_obj_python(content)
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    nat = native.parse_obj_arrays(content)
+    for a, b in zip(py, nat):
+        assert np.allclose(a, b), (a, b)
 
 
 def test_eval_math():
