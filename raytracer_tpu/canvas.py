@@ -141,7 +141,10 @@ class Canvas:
             self.pixels = self.pixels + d[..., None]
         else:
             below = (self.pixels < d[..., None]).any(axis=-1)
-            self.pixels = np.where(below[..., None], 0.0, 1.0).astype(np.float32)
+            self.pixels = np.where(
+                below[..., None], np.zeros_like(self.pixels),
+                np.ones_like(self.pixels),
+            )
 
     def to_ppm(self, writer) -> None:
         data = to_ppm_bytes(self.pixels)

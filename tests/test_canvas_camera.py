@@ -51,7 +51,8 @@ def test_bayer_matrices():
 def test_dithering_threshold_and_color():
     c = Canvas(4, 4, np.full((4, 4, 3), 0.5, np.float32))
     c.apply_dithering(2, colored=False)
-    # threshold mode: strictly 0/1 (canvas.rs:40-53)
+    # threshold mode: strictly 0/1, shape preserved (canvas.rs:40-53)
+    assert c.pixels.shape == (4, 4, 3)
     assert set(np.unique(c.pixels)) <= {0.0, 1.0}
     # bayer[x%2][y%2] at (0,0)=0 -> 0.5 >= 0 stays white
     assert c.pixels[0, 0, 0] == 1.0
