@@ -11,8 +11,10 @@ from raytracer_tpu.scene.specs import (
     Cone,
     Triangle,
     SmoothTriangle,
+    Mesh,
     Group,
     Csg,
+    hexagon,
 )
 from raytracer_tpu.scene.builder import build_scene
 

@@ -201,6 +201,31 @@ class Group:
         return _as_matrix(self.transform)
 
 
+def hexagon(transform=None) -> "Group":
+    """The reference's demo hexagon builder (groups.rs:328-367): six
+    sides, each a corner sphere + edge cylinder under a rotated group."""
+    import math
+
+    def corner():
+        return Sphere(transform=transforms.Transform()
+                      .scaling(0.25, 0.25, 0.25).translation(0.0, 0.0, -1.0).matrix)
+
+    def edge():
+        return Cylinder(
+            transform=transforms.Transform()
+            .scaling(0.25, 1.0, 0.25).rotation_z(-math.pi / 2)
+            .rotation_y(-math.pi / 6).translation(0.0, 0.0, -1.0).matrix,
+            min=0.0, max=1.0,
+        )
+
+    sides = [
+        Group(transform=transforms.rotation_y(n * math.pi / 3),
+              children=[corner(), edge()])
+        for n in range(6)
+    ]
+    return Group(transform=_as_matrix(transform), children=sides)
+
+
 @dataclass
 class Csg:
     """CSG node: op in {"union","intersect","difference"}, children are
