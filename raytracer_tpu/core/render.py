@@ -72,43 +72,44 @@ def _area_light_contrib(scene, ai, over, eyev, normalv, base_color, mat_rows, ke
     intensity = scene.alight_intensity[ai]
     r = over.shape[0]
 
-    uu = np.repeat(np.arange(us, dtype=np.float32), vs)
-    vv = np.tile(np.arange(vs, dtype=np.float32), us)
-    sidx = np.arange(s_total, dtype=np.int32)
+    uu = jnp.asarray(np.repeat(np.arange(us, dtype=np.float32), vs))  # [S]
+    vv = jnp.asarray(np.tile(np.arange(vs, dtype=np.float32), us))
     deterministic = st.jitter is not None
     if deterministic:
-        ju1, jv1, ju2, jv2 = _det_jitter_tables(st, s_total)
+        ju1, jv1, ju2, jv2 = (
+            jnp.asarray(x)[None, :] for x in _det_jitter_tables(st, s_total)
+        )                                                    # [1, S]
     else:
-        ju1 = jv1 = ju2 = jv2 = np.zeros(s_total, np.float32)
+        jj = jax.random.uniform(key, (r, s_total, 4))        # per-ray per-sample
+        ju1, jv1, ju2, jv2 = jj[..., 0], jj[..., 1], jj[..., 2], jj[..., 3]
 
-    def body(carry, x):
-        int_sum, phong_sum = carry
-        u_i, v_i, s_i, a1, b1, a2, b2 = x
-        if deterministic:
-            ju, jv, ju_2, jv_2 = a1, b1, a2, b2
-        else:
-            k = jax.random.fold_in(key, s_i)
-            jj = jax.random.uniform(k, (r, 4))
-            ju, jv, ju_2, jv_2 = jj[:, 0], jj[:, 1], jj[:, 2], jj[:, 3]
-        pos = corner + (u_i + ju)[..., None] * uvec + (v_i + jv)[..., None] * vvec
-        pos = jnp.broadcast_to(pos, (r, 3))
-        sh = shadowed(scene, over, pos)
-        int_sum = int_sum + jnp.where(sh, 0.0, 1.0)
+    # all u*v samples in ONE flattened [R*S] trace + Phong batch (a scan
+    # over samples serializes 100 tiny kernels; this is one wide one)
+    def positions(ju, jv):
+        return (
+            corner
+            + (uu[None, :] + ju)[..., None] * uvec
+            + (vv[None, :] + jv)[..., None] * vvec
+        )                                                    # [R|1, S, 3]
 
-        pos2 = corner + (u_i + ju_2)[..., None] * uvec + (v_i + jv_2)[..., None] * vvec
-        pos2 = jnp.broadcast_to(pos2, (r, 3))
-        ds = SH.phong(mat_rows, base_color, intensity[None], pos2, over, eyev, normalv)
-        return (int_sum, phong_sum + ds), None
+    pos = jnp.broadcast_to(positions(ju1, jv1), (r, s_total, 3))
+    over_w = jnp.broadcast_to(over[:, None], (r, s_total, 3)).reshape(-1, 3)
+    sh = shadowed(scene, over_w, pos.reshape(-1, 3))
+    int_sum = jnp.sum(1.0 - sh.reshape(r, s_total).astype(jnp.float32), -1)
 
-    init = (jnp.zeros(r), jnp.zeros((r, 3)))
-    (int_sum, phong_sum), _ = jax.lax.scan(
-        body, init,
-        tuple(jnp.asarray(x) for x in (uu, vv, sidx, ju1, jv1, ju2, jv2)),
-    )
+    pos2 = jnp.broadcast_to(positions(ju2, jv2), (r, s_total, 3)).reshape(-1, 3)
+    rep = lambda x: jnp.broadcast_to(
+        x[:, None], (r, s_total) + x.shape[1:]
+    ).reshape((r * s_total,) + x.shape[1:])
+    ds = SH.phong(
+        rep(mat_rows), rep(base_color), intensity[None], pos2,
+        over_w, rep(eyev), rep(normalv),
+    ).reshape(r, s_total, 3).sum(1)
+
     eff = base_color * intensity[None]
     ambient = eff * scene_mat_col(mat_rows, T.MAT_AMBIENT)
     frac = int_sum / s_total
-    return ambient + (phong_sum / s_total) * frac[:, None]
+    return ambient + (ds / s_total) * frac[:, None]
 
 
 def scene_mat_col(mat_rows, col):
