@@ -54,29 +54,61 @@ def shard_rays(origins, directions, mesh: Mesh, axis: str = RAY_AXIS):
     return jax.device_put(origins, sh), jax.device_put(directions, sh), n
 
 
-def render_sharded(scene: T.Scene, camera, mesh: Mesh | None = None, *, key=None):
+def render_sharded(scene: T.Scene, camera, mesh: Mesh | None = None, *,
+                   key=None, tile_rays=None):
     """Full-frame render with the ray axis sharded over ``mesh``.
 
-    Returns a float32 numpy image [vsize, hsize, 3] gathered to the host.
+    Tiles like the single-chip renderer (the depth-4 spawn tree of a
+    whole frame does not fit HBM), with each tile's rays split across
+    the mesh; tiles keep the screen-block ordering so every device gets
+    a spatially coherent sub-block. Returns a float32 numpy image.
     """
     from raytracer_tpu.camera import ray_grid
+    from raytracer_tpu.core.render import _block_order
 
     if mesh is None:
         mesh = make_mesh()
     if key is None:
         key = jax.random.PRNGKey(0)
+    n_dev = mesh.devices.size
+    if tile_rays is None:
+        n_free_tris = scene.static.counts[5] - scene.static.n_csg_tris
+        per_dev = 1 << 13 if n_free_tris > 20000 else 1 << 16
+        tile_rays = per_dev * n_dev
 
     origins, directions = ray_grid(camera)
-    o, d, n = shard_rays(origins, directions, mesh)
-    scene = replicate_scene(scene, mesh)
+    n = origins.shape[0]
+    tile = min(tile_rays, n)
+    order = _block_order(
+        camera.vsize, camera.hsize, max(int((tile // n_dev) ** 0.5), 1)
+    )
+    order_j = jnp.asarray(order)
+    origins = origins[order_j]
+    directions = directions[order_j]
+    n_pad = -n % tile
+    if n_pad:
+        origins = jnp.pad(origins, ((0, n_pad), (0, 0)))
+        directions = jnp.pad(
+            directions, ((0, n_pad), (0, 0)), constant_values=1.0
+        )
 
-    out_sh = NamedSharding(mesh, P(RAY_AXIS))
+    scene = replicate_scene(scene, mesh)
+    ray_sh = NamedSharding(mesh, P(RAY_AXIS))
+    limit = scene.static.recursion_limit
 
     @jax.jit
     def run(scene, o, d, key):
-        img = color_at(scene, o, d, key)
-        return jax.lax.with_sharding_constraint(img, out_sh)
+        o = jax.lax.with_sharding_constraint(o, ray_sh)
+        d = jax.lax.with_sharding_constraint(d, ray_sh)
+        img = color_at(scene, o, d, key, limit)
+        return jax.lax.with_sharding_constraint(img, ray_sh)
 
-    img = run(scene, o, d, key)
-    img = np.asarray(img)[:n]
-    return img.reshape(camera.vsize, camera.hsize, 3).astype(np.float32)
+    parts = []
+    for i in range(0, n + n_pad, tile):
+        tkey = jax.random.fold_in(key, i)
+        parts.append(run(scene, origins[i : i + tile],
+                         directions[i : i + tile], tkey))
+    img = np.asarray(jnp.concatenate(parts, 0)[:n], np.float32)
+    out = np.empty_like(img)
+    out[order] = img
+    return out.reshape(camera.vsize, camera.hsize, 3)
