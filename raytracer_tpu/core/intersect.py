@@ -368,7 +368,7 @@ def _tri_free_nearest(scene: T.Scene, origins, directions, start, count):
     two-level in-kernel AABB hierarchy would lift this; future work).
     """
     if (jax.default_backend() == "tpu"
-            and 4 * TRI_CHUNK <= count <= 512 * TRI_CHUNK):
+            and count >= 4 * TRI_CHUNK):
         return _tri_free_nearest_pallas(scene, origins, directions, start, count)
     return _tri_free_nearest_scan(scene, origins, directions, start, count)
 

@@ -1,23 +1,24 @@
 """Pallas TPU kernel: nearest triangle hit for a ray tile.
 
-Design (v2 — in-kernel chunk streaming):
+Design (v3 — two-level AABB hierarchy, in-kernel streaming):
 
-  * grid = (R / RT,): one program per ray subtile; the whole chunk sweep
-    runs inside the kernel as a fori_loop, so per-chunk cost is a loop
-    iteration (~ns) instead of a Pallas grid step (~us);
-  * triangle chunks stream HBM -> VMEM through a double buffer
-    (unconditional prefetch of chunk j+1 while j processes) so DMA fully
-    overlaps compute;
-  * per chunk, a slab test of the chunk AABB against the subtile's rays
-    AND the current best t decides whether the Moller-Trumbore block
-    runs at all (@pl.when) — compute is only spent on chunks this
-    512-ray frustum can actually see, the TPU equivalent of BVH
-    traversal (SURVEY §7.6) at subtile granularity;
+  * grid = (R / RT,): one program per ray subtile; all loops run inside
+    the kernel (a Pallas grid step costs ~us, a fori_loop iteration ~ns);
+  * triangles are grouped into chunks of 256 and supergroups of 32
+    chunks (8192 triangles). Supergroups stream HBM -> VMEM through a
+    double buffer as single 512 KB DMAs (latency fully amortized and
+    overlapped with compute);
+  * per supergroup, a slab test of its AABB against the subtile's rays
+    and current best t gates the inner loop entirely; per chunk, the
+    same test gates the Moller-Trumbore block — compute is only spent
+    on geometry this 512-ray frustum can actually see. This is BVH
+    traversal (SURVEY §7.6) reshaped for a wide-SIMD machine: two fixed
+    levels, frustum-granular, no stacks, no divergence;
   * Moller-Trumbore is straight VPU math on [RT, CHUNK] component
     planes (triangle.rs:93-115 semantics, t > 0 strictly).
 
-Morton-ordered triangles (scene builder) make chunk AABBs tight, which
-is what gives the slab test its rejection power.
+Morton-ordered triangles (scene builder) make chunk and supergroup
+AABBs tight, which is what gives the slab tests their rejection power.
 
 Returns per-ray (t, tri_index, u, v); misses have t=+inf.
 """
@@ -33,6 +34,8 @@ from raytracer_tpu.constants import EPSILON
 
 RT = 512           # rays per subtile ([RT, CHUNK] f32 planes must fit VMEM)
 CHUNK = 256        # triangles per chunk (matches intersect.TRI_CHUNK)
+ROWS = 16          # plane rows per chunk (9 used, padded for DMA alignment)
+SG = 32            # chunks per supergroup (one DMA unit: SG*ROWS*CHUNK*4 B)
 
 
 def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
@@ -92,9 +95,10 @@ def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
     v_ref[:, 0] = jnp.where(better, v_hit, v_ref[:, 0])
 
 
-def _kernel(o_ref, id_ref, d_ref, bb_ref, tri_hbm,
+def _kernel(o_ref, id_ref, d_ref, bbc_ref, bbs_ref, tri_hbm,
             t_ref, g_ref, u_ref, v_ref):
-    n_chunks = bb_ref.shape[1]
+    n_chunks = bbc_ref.shape[1]
+    n_super = bbs_ref.shape[1]
 
     t_ref[:] = jnp.full_like(t_ref, jnp.inf)
     g_ref[:] = jnp.zeros_like(g_ref)
@@ -104,13 +108,13 @@ def _kernel(o_ref, id_ref, d_ref, bb_ref, tri_hbm,
     ox, oy, oz = o_ref[:, 0], o_ref[:, 1], o_ref[:, 2]
     ix, iy, iz = id_ref[:, 0], id_ref[:, 1], id_ref[:, 2]
 
-    def live_any(j):
-        tx0 = (bb_ref[0, j] - ox) * ix
-        tx1 = (bb_ref[3, j] - ox) * ix
-        ty0 = (bb_ref[1, j] - oy) * iy
-        ty1 = (bb_ref[4, j] - oy) * iy
-        tz0 = (bb_ref[2, j] - oz) * iz
-        tz1 = (bb_ref[5, j] - oz) * iz
+    def live_any(bb, j):
+        tx0 = (bb[0, j] - ox) * ix
+        tx1 = (bb[3, j] - ox) * ix
+        ty0 = (bb[1, j] - oy) * iy
+        ty1 = (bb[4, j] - oy) * iy
+        tz0 = (bb[2, j] - oz) * iz
+        tz1 = (bb[5, j] - oz) * iz
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
             jnp.minimum(tz0, tz1))
@@ -121,35 +125,47 @@ def _kernel(o_ref, id_ref, d_ref, bb_ref, tri_hbm,
         return jnp.any(live)
 
     def body(scratch, sems):
-        def get_dma(slot, j):
+        def get_dma(slot, s):
             return pltpu.make_async_copy(
-                tri_hbm.at[j], scratch.at[slot], sems.at[slot]
+                tri_hbm.at[s], scratch.at[slot], sems.at[slot]
             )
 
         get_dma(0, 0).start()
 
-        def loop(j, _):
-            slot = j % 2
-            nxt = (j + 1) % 2
+        def outer(s, _):
+            slot = s % 2
+            nxt = (s + 1) % 2
 
-            @pl.when(j + 1 < n_chunks)
+            @pl.when(s + 1 < n_super)
             def _():
-                get_dma(nxt, j + 1).start()
+                get_dma(nxt, s + 1).start()
 
-            get_dma(slot, j).wait()
+            get_dma(slot, s).wait()
 
-            @pl.when(live_any(j))
+            @pl.when(live_any(bbs_ref, s))
             def _():
-                _mt_merge(o_ref, d_ref, scratch[slot], j * CHUNK,
-                          t_ref, g_ref, u_ref, v_ref)
+                def inner(c, _):
+                    j = s * SG + c
+
+                    @pl.when((j < n_chunks) & live_any(bbc_ref, j))
+                    def _():
+                        _mt_merge(
+                            o_ref, d_ref,
+                            scratch[slot, pl.ds(c * ROWS, ROWS)],
+                            j * CHUNK, t_ref, g_ref, u_ref, v_ref,
+                        )
+
+                    return 0
+
+                jax.lax.fori_loop(0, SG, inner, 0)
 
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, loop, 0)
+        jax.lax.fori_loop(0, n_super, outer, 0)
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((2, 16, CHUNK), jnp.float32),
+        scratch=pltpu.VMEM((2, SG * ROWS, CHUNK), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -158,10 +174,12 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, interpret=False):
     """Nearest triangle hit per ray.
 
     origins/directions: [R, 3] (R a multiple of RT)
-    tri_planes: [n_chunks, 16, CHUNK] — rows p1x..z, e1x..z, e2x..z (+pad)
-    bb: [6, n_chunks] — rows min xyz, max xyz; SMEM-resident
+    tri_planes: [n_super, SG*ROWS, CHUNK] — supergroup-major plane rows
+    bb: (bb_chunk [6, n_chunks], bb_super [6, n_super]) from
+        pack_tri_planes; both SMEM-resident
     Returns (t [R], tri_idx [R], u [R], v [R]).
     """
+    bb_chunk, bb_super = bb
     r = origins.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-12, 1e-12, directions)
 
@@ -183,35 +201,52 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, interpret=False):
             ray_spec,                                        # origins
             ray_spec,                                        # inv_d
             ray_spec,                                        # directions
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # AABBs (whole)
-            pl.BlockSpec(memory_space=pl.ANY),            # tri planes HBM
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # super AABBs
+            pl.BlockSpec(memory_space=pl.ANY),               # tri planes HBM
         ],
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(origins, inv_d, directions, bb, tri_planes)
+    )(origins, inv_d, directions, bb_chunk, bb_super, tri_planes)
     return t[:, 0], g[:, 0], u[:, 0], v[:, 0]
 
 
 def pack_tri_planes(p1, e1, e2):
-    """[Nt,3] x3 -> ([n_chunks, 9, CHUNK] planes, [n_chunks, 8] AABBs)."""
+    """[Nt,3] x3 -> (tri_planes [n_super, SG*ROWS, CHUNK],
+    (bb_chunk [6, n_chunks], bb_super [6, n_super])).
+
+    Padding triangles are degenerate (p1=e1=e2=0 -> det=0 miss); padded
+    chunk/supergroup AABBs are empty (min > max -> never live).
+    """
     nt = p1.shape[0]
-    pad = -nt % CHUNK
+    pad = -nt % (CHUNK * SG)
     f = lambda x: jnp.pad(x, ((0, pad), (0, 0)))
     p1p, e1p, e2p = f(p1), f(e1), f(e2)
-    nc = (nt + pad) // CHUNK
+    n_total = nt + pad
+    nc = n_total // CHUNK
+    n_super = nc // SG
 
     def planes(x):
         return x.reshape(nc, CHUNK, 3).transpose(0, 2, 1)    # [nc,3,CHUNK]
 
     tri = jnp.concatenate([planes(p1p), planes(e1p), planes(e2p)], axis=1)
-    # pad plane rows 9 -> 16: DMA slices need sublane (8) alignment
-    tri = jnp.pad(tri, ((0, 0), (0, 7), (0, 0)))
+    # pad plane rows 9 -> ROWS for DMA sublane alignment
+    tri = jnp.pad(tri, ((0, 0), (0, ROWS - 9), (0, 0)))
+    tri = tri.reshape(n_super, SG * ROWS, CHUNK)
 
     v0 = p1p.reshape(nc, CHUNK, 3)
     v1 = (p1p + e1p).reshape(nc, CHUNK, 3)
     v2 = (p1p + e2p).reshape(nc, CHUNK, 3)
-    bb_min = jnp.minimum(jnp.minimum(v0, v1), v2).min(axis=1)
-    bb_max = jnp.maximum(jnp.maximum(v0, v1), v2).max(axis=1)
-    bb = jnp.concatenate([bb_min, bb_max], axis=1).T    # [6, nc] SMEM-compact
-    return tri, bb
+    # mask padding triangles out of the AABBs
+    real = (jnp.arange(n_total) < nt).reshape(nc, CHUNK, 1)
+    big = jnp.float32(3e38)
+    lo = jnp.where(real, jnp.minimum(jnp.minimum(v0, v1), v2), big)
+    hi = jnp.where(real, jnp.maximum(jnp.maximum(v0, v1), v2), -big)
+    bb_min = lo.min(axis=1)
+    bb_max = hi.max(axis=1)
+    bb_chunk = jnp.concatenate([bb_min, bb_max], axis=1).T       # [6, nc]
+    sb_min = bb_min.reshape(n_super, SG, 3).min(axis=1)
+    sb_max = bb_max.reshape(n_super, SG, 3).max(axis=1)
+    bb_super = jnp.concatenate([sb_min, sb_max], axis=1).T       # [6, n_super]
+    return tri, (bb_chunk, bb_super)
