@@ -76,6 +76,57 @@ def ray_grid(camera: Camera, dtype=jnp.float32):
     return jnp.asarray(origins, dtype), jnp.asarray(directions, dtype)
 
 
+def view_transform_jax(from_p, to_p, up):
+    """Differentiable view_transform (transformations.rs:122-134) in jnp:
+    camera pose becomes a gradient target for inverse rendering."""
+    from_p = jnp.asarray(from_p)
+    to_p = jnp.asarray(to_p)
+    up = jnp.asarray(up)
+    norm = lambda v: v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+    forward = norm(to_p - from_p)
+    left = jnp.cross(forward, norm(up))
+    true_up = jnp.cross(left, forward)
+    orientation = jnp.stack([
+        jnp.concatenate([left, jnp.zeros(1)]),
+        jnp.concatenate([true_up, jnp.zeros(1)]),
+        jnp.concatenate([-forward, jnp.zeros(1)]),
+        jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+    ])
+    trans = jnp.eye(4).at[:3, 3].set(-from_p)
+    return orientation @ trans
+
+
+def ray_grid_jax(cam_inv, hsize: int, vsize: int, field_of_view):
+    """Differentiable whole-grid ray generation (camera.rs:45-64 math).
+
+    ``cam_inv`` is the INVERSE camera matrix (e.g.
+    ``jnp.linalg.inv(view_transform_jax(...))``); hsize/vsize are static.
+    Returns (origins [n,3], directions [n,3]); grads flow to cam_inv and
+    field_of_view.
+    """
+    half_view = jnp.tan(field_of_view / 2.0)
+    aspect = hsize / vsize
+    half_width = jnp.where(aspect >= 1.0, half_view, half_view * aspect)
+    half_height = jnp.where(aspect >= 1.0, half_view / aspect, half_view)
+    pixel_size = half_width * 2.0 / hsize
+
+    px = jnp.arange(hsize) + 0.5
+    py = jnp.arange(vsize) + 0.5
+    world_x = half_width - px * pixel_size
+    world_y = half_height - py * pixel_size
+    wx, wy = jnp.meshgrid(world_x, world_y)
+    n = hsize * vsize
+    pixels_h = jnp.stack(
+        [wx.ravel(), wy.ravel(), jnp.full(n, -1.0), jnp.ones(n)], axis=-1)
+    pixel_world = pixels_h @ cam_inv.T
+    origin_world = cam_inv @ jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    directions = pixel_world[:, :3] - origin_world[:3]
+    directions = directions / jnp.maximum(
+        jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-12)
+    origins = jnp.broadcast_to(origin_world[:3], (n, 3))
+    return origins, directions
+
+
 def ray_for_pixel(camera: Camera, px: int, py: int):
     """Single-ray reference helper (mirrors camera.rs:45-64) for tests."""
     origins, directions = ray_grid(camera)

@@ -70,6 +70,38 @@ def test_gradient_matches_finite_difference():
     assert abs(g_analytic - g_numeric) < 5e-3 * max(1.0, abs(g_numeric))
 
 
+def test_camera_rays_jax_match_and_grad():
+    from raytracer_tpu.camera import ray_grid, ray_grid_jax, view_transform_jax
+
+    scene, cam, _, _ = small_setup()
+    o_np, d_np = ray_grid(cam)
+    cam_inv = jnp.linalg.inv(view_transform_jax(
+        (0.0, 1.5, -5.0), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0)))
+    o_j, d_j = ray_grid_jax(cam_inv, cam.hsize, cam.vsize, cam.field_of_view)
+    assert np.allclose(np.asarray(o_j), np.asarray(o_np), atol=1e-5)
+    assert np.allclose(np.asarray(d_j), np.asarray(d_np), atol=1e-5)
+
+    # camera-pose gradient: loss of rendered image w.r.t. eye position
+    target = jnp.zeros((cam.hsize * cam.vsize, 3))
+
+    def loss(from_p):
+        inv = jnp.linalg.inv(view_transform_jax(
+            from_p, jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0])))
+        o, d = ray_grid_jax(inv, cam.hsize, cam.vsize, cam.field_of_view)
+        img = color_at(scene, o, d, limit=0)
+        return jnp.mean((img - target) ** 2)
+
+    f0 = jnp.asarray([0.0, 1.5, -5.0])
+    g = jax.grad(loss)(f0)
+    assert np.isfinite(np.asarray(g)).all()
+    eps = 1e-2
+    for k in range(3):
+        up = float(loss(f0.at[k].add(eps)))
+        dn = float(loss(f0.at[k].add(-eps)))
+        num = (up - dn) / (2 * eps)
+        assert abs(float(g[k]) - num) < max(0.3 * abs(num), 5e-3), (k, float(g[k]), num)
+
+
 def test_train_step_reduces_loss():
     scene, _, o, d = small_setup()
     target = jnp.full((o.shape[0], 3), 0.3)
