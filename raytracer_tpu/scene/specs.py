@@ -200,6 +200,17 @@ class Group:
     def matrix(self) -> np.ndarray:
         return _as_matrix(self.transform)
 
+    def divide(self, threshold: int = 1) -> "Group":
+        """API-parity no-op (groups.rs:284-299). Acceleration here is
+        automatic: the builder Morton-orders triangles and the renderer
+        culls chunk/supergroup AABBs — no explicit BVH build step."""
+        return self
+
+    def cache_bounds(self) -> "Group":
+        """API-parity no-op (groups.rs:190-196); bounds are computed at
+        scene compile time."""
+        return self
+
 
 def hexagon(transform=None) -> "Group":
     """The reference's demo hexagon builder (groups.rs:328-367): six
