@@ -265,7 +265,7 @@ def _static_hits(scene: T.Scene, origins, directions):
     off = st.offsets
     r = origins.shape[0]
 
-    ts_list, gid_cols, uv_list = [], [], []
+    ts_list, gid_cols = [], []
 
     def fam(name, n, fn, slots, extra=()):
         if n == 0:
