@@ -35,12 +35,12 @@ def main():
     cam = _camera(1280, 720)
 
     # warm-up / compile
-    render(scene, cam, tile_rays=TILE)
+    render(scene, cam)
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        img = render(scene, cam, tile_rays=TILE)
+        img = render(scene, cam)
     dt = (time.perf_counter() - t0) / n_iters
 
     px_per_sec = cam.hsize * cam.vsize / dt

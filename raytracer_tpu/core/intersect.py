@@ -40,6 +40,21 @@ TRI_CHUNK = 256
 TRI_TOPK = 8
 
 
+def select_col(x, idx):
+    """x[r, idx[r]] for small trailing dims — a one-hot select-sum.
+
+    TPU lowers take_along_axis to a gather custom-call (~15 ms per
+    1M-row take in profile); for C <= ~32 a masked reduce on the VPU is
+    orders of magnitude cheaper.
+    """
+    c = x.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    mask = cols == idx[..., None]
+    if x.dtype == jnp.bool_:
+        return jnp.any(mask & x, axis=-1)
+    return jnp.sum(jnp.where(mask, x, 0), axis=-1)
+
+
 def _local_rays(inv_tf, origins, directions):
     """Transform ray batch into each primitive's object space.
 
@@ -485,7 +500,7 @@ def nearest_hit(scene: T.Scene, origins, directions):
     pos = (ts > 0.0) & jnp.isfinite(ts)
     masked = jnp.where(pos, ts, INF)
     slot = jnp.argmin(masked, -1)
-    take = lambda x: jnp.take_along_axis(x, slot[:, None], -1)[:, 0]
+    take = lambda x: select_col(x, slot)
     t_s, g_s, u_s, v_s = take(masked), take(gid), take(u), take(v)
 
     nt_free = st.counts[5] - st.n_csg_tris
@@ -576,5 +591,5 @@ def first_hit(ts, gid, u, v):
     masked = jnp.where(pos, ts, INF)
     slot = jnp.argmin(masked, -1)
     has = jnp.any(pos, -1)
-    take = lambda x: jnp.take_along_axis(x, slot[:, None], -1)[:, 0]
+    take = lambda x: select_col(x, slot)
     return has, take(ts), take(gid), take(u), take(v), slot

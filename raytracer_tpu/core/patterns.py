@@ -165,7 +165,9 @@ def _cube_map_color(scene: T.Scene, pid, p):
         rem2(1.0 - z) / 2.0,        # Up
         rem2(z + 1.0) / 2.0,        # Down
     ], -1)
-    u = jnp.take_along_axis(u_faces, face[:, None], -1)[:, 0]
-    v = jnp.take_along_axis(v_faces, face[:, None], -1)[:, 0]
-    uv_id = jnp.take_along_axis(scene.pat_uv[pid], face[:, None], -1)[:, 0]
+    from raytracer_tpu.core.intersect import select_col
+
+    u = select_col(u_faces, face)
+    v = select_col(v_faces, face)
+    uv_id = select_col(scene.pat_uv[pid], face)
     return _uv_pattern_at(scene, uv_id, u, v)

@@ -264,9 +264,11 @@ def render(scene: T.Scene, camera, *, key=None, tile_rays=None):
         # Mesh-heavy scenes want small screen-local tiles: chunk-AABB
         # culling rejects ~70-90% of triangle chunks for a tight ray
         # frustum but almost none for a frame-wide one (measured 7x on a
-        # 632k-triangle scene). Small scenes prefer fewer dispatches.
+        # 632k-triangle scene). Small scenes prefer fewer dispatches
+        # (each host->device dispatch costs ~hundreds of us to ~200ms on
+        # remote TPU transports); depth-4 spawn trees bound the ceiling.
         n_free_tris = scene.static.counts[5] - scene.static.n_csg_tris
-        tile_rays = 1 << 13 if n_free_tris > 20000 else 1 << 16
+        tile_rays = 1 << 13 if n_free_tris > 20000 else 1 << 17
     # Pin the scene tables on device once; otherwise every tile dispatch
     # re-transfers the whole SoA from host (catastrophic over remote TPU).
     scene = jax.device_put(scene)
@@ -285,13 +287,17 @@ def render(scene: T.Scene, camera, *, key=None, tile_rays=None):
         directions = jnp.pad(
             directions, ((0, n_pad), (0, 0)), constant_values=1.0
         )
+    n_tiles = (n + n_pad) // tile
+    # ONE dispatch for all per-tile keys (a fold_in per tile puts a full
+    # host->device round trip on the critical path of every tile)
+    tile_keys = np.asarray(jax.random.split(key, n_tiles))  # host-resident
     parts = []
-    for i in range(0, n + n_pad, tile):
-        tkey = jax.random.fold_in(key, i)
+    for ti in range(n_tiles):
+        i = ti * tile
         parts.append(
             _color_at_jit(
                 scene, origins[i : i + tile], directions[i : i + tile],
-                tkey, scene.static.recursion_limit,
+                tile_keys[ti], scene.static.recursion_limit,
             )
         )
     img = np.asarray(jnp.concatenate(parts, 0)[:n], np.float32)

@@ -162,7 +162,9 @@ def refraction_indices_fast(scene: T.Scene, ts, gids, hit_slot):
     valid = jnp.isfinite(ts)
     refr = scene.mat[gids, T.MAT_REFRACTIVE]               # [R, C]
 
-    t_h = jnp.take_along_axis(ts, hit_slot[:, None], -1)   # [R, 1]
+    from raytracer_tpu.core.intersect import select_col
+
+    t_h = select_col(ts, hit_slot)[:, None]                # [R, 1]
     before = valid & (
         (ts < t_h) | ((ts == t_h) & (idx[None, :] < hit_slot[:, None]))
     )                                                      # [R, C]
@@ -190,17 +192,17 @@ def refraction_indices_fast(scene: T.Scene, ts, gids, hit_slot):
         m = jnp.max(big_t, -1, keepdims=True)
         at_max = mask & (big_t == m)
         j = jnp.max(jnp.where(at_max, idx[None, :], -1), -1)
-        ri = jnp.take_along_axis(refr, jnp.maximum(j, 0)[:, None], -1)[:, 0]
+        ri = select_col(refr, jnp.maximum(j, 0))
         return jnp.where(j >= 0, ri, 1.0)
 
     n1 = latest(live)
 
     obj_cols = jnp.asarray(obj_np)
-    obj_h = jnp.take_along_axis(
-        jnp.broadcast_to(obj_cols[None, :], ts.shape), hit_slot[:, None], -1
-    )                                                       # [R, 1]
-    h_was_open = jnp.take_along_axis(open_col, hit_slot[:, None], -1)[:, 0]
-    refr_h = jnp.take_along_axis(refr, hit_slot[:, None], -1)[:, 0]
+    obj_h = select_col(
+        jnp.broadcast_to(obj_cols[None, :], ts.shape), hit_slot
+    )[:, None]                                              # [R, 1]
+    h_was_open = select_col(open_col, hit_slot)
+    refr_h = select_col(refr, hit_slot)
     n2_closed_h = latest(live & (obj_cols[None, :] != obj_h))
     n2 = jnp.where(h_was_open, n2_closed_h, refr_h)
     return n1, n2
