@@ -55,6 +55,25 @@ def select_col(x, idx):
     return jnp.sum(jnp.where(mask, x, 0), axis=-1)
 
 
+def table_gather(table, idx, limit: int = 32):
+    """``table[idx]`` that avoids the TPU gather custom-call when the
+    table is small: a masked broadcast-reduce over the table axis (exact
+    — no matmul rounding). Falls back to a real gather for big tables
+    (meshes), where the one-hot mask would dwarf the gather cost.
+
+    table: [G, ...rest]; idx: any integer shape; returns [*idx, ...rest].
+    """
+    g = table.shape[0]
+    if g > limit:
+        return table[idx]
+    mask = idx[..., None] == jnp.arange(g)               # [*idx, G]
+    t = table.reshape((1,) * idx.ndim + table.shape)      # [1.., G, rest]
+    m = mask.reshape(mask.shape + (1,) * (len(table.shape) - 1))
+    if table.dtype == jnp.bool_:
+        return jnp.any(m & t, axis=idx.ndim)
+    return jnp.sum(jnp.where(m, t, 0), axis=idx.ndim)
+
+
 def _local_rays(inv_tf, origins, directions):
     """Transform ray batch into each primitive's object space.
 

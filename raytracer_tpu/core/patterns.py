@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from raytracer_tpu.core import types as T
+from raytracer_tpu.core.intersect import select_col, table_gather
 
 PI = 3.14159265358979323846
 
@@ -30,17 +31,17 @@ def pattern_color(scene: T.Scene, gid, world_point):
     gid [R] i32, world_point [R,3] -> color [R,3]. Rays whose material has
     no pattern get garbage (pattern 0); callers select with pattern_id>=0.
     """
-    pid = jnp.maximum(scene.pattern_id[gid], 0)
+    pid = jnp.maximum(table_gather(scene.pattern_id, gid), 0)
 
-    inv = scene.inv_tf[gid]                                   # [R,4,4]
+    inv = table_gather(scene.inv_tf, gid)                     # [R,4,4]
     obj_p = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point, precision="highest") + inv[:, :3, 3]
-    pinv = scene.pat_inv[pid]
+    pinv = table_gather(scene.pat_inv, pid)
     p = jnp.einsum("rij,rj->ri", pinv[:, :3, :3], obj_p, precision="highest") + pinv[:, :3, 3]
 
     x, y, z = p[:, 0], p[:, 1], p[:, 2]
-    a = scene.pat_a[pid]
-    b = scene.pat_b[pid]
-    kind = scene.pat_kind[pid]
+    a = table_gather(scene.pat_a, pid)
+    b = table_gather(scene.pat_b, pid)
+    kind = table_gather(scene.pat_kind, pid)
 
     # striped.rs:28-34
     striped = jnp.where((jnp.mod(jnp.floor(x), 2.0) == 0.0)[:, None], a, b)
@@ -57,8 +58,8 @@ def pattern_color(scene: T.Scene, gid, world_point):
     xyz = p
 
     # texture_map.rs: pick the uv mapping, then the uv pattern
-    tex_u, tex_v = _uv_map(scene.pat_map[pid], p)
-    texture = _uv_pattern_at(scene, scene.pat_uv[pid, 0], tex_u, tex_v)
+    tex_u, tex_v = _uv_map(table_gather(scene.pat_map, pid), p)
+    texture = _uv_pattern_at(scene, table_gather(scene.pat_uv[:, 0], pid), tex_u, tex_v)
 
     # cube_map.rs:81-137
     cubemap = _cube_map_color(scene, pid, p)
@@ -97,10 +98,10 @@ def _uv_map(mapping, p):
 def _uv_pattern_at(scene: T.Scene, uv_id, u, v):
     """uv_pattern.rs: checker / align-check / image, batched."""
     uid = jnp.maximum(uv_id, 0)
-    kind = scene.uv_kind[uid]
-    w = scene.uv_wh[uid, 0]
-    h = scene.uv_wh[uid, 1]
-    colors = scene.uv_colors[uid]                              # [R,5,3]
+    kind = table_gather(scene.uv_kind, uid)
+    w = table_gather(scene.uv_wh[:, 0], uid)
+    h = table_gather(scene.uv_wh[:, 1], uid)
+    colors = table_gather(scene.uv_colors, uid)                # [R,5,3]
 
     # UvChecker (uv_pattern.rs:44-53)
     par = jnp.mod(jnp.floor(u * w) + jnp.floor(v * h), 2.0) == 0.0
@@ -115,9 +116,9 @@ def _uv_pattern_at(scene: T.Scene, uv_id, u, v):
     align = jnp.where(((v < 0.2) & (u > 0.8))[:, None], br, align)
 
     # UvImage (uv_pattern.rs:120-133): nearest neighbor, v flipped.
-    img_id = jnp.maximum(scene.uv_image[uid], 0)
-    iw = scene.image_wh[img_id, 0].astype(jnp.float32)
-    ih = scene.image_wh[img_id, 1].astype(jnp.float32)
+    img_id = jnp.maximum(table_gather(scene.uv_image, uid), 0)
+    iw = table_gather(scene.image_wh[:, 0], img_id).astype(jnp.float32)
+    ih = table_gather(scene.image_wh[:, 1], img_id).astype(jnp.float32)
     vv = 1.0 - v
     px = jnp.floor(u * (iw - 1.0) + 0.5).astype(jnp.int32)
     py = jnp.floor(vv * (ih - 1.0) + 0.5).astype(jnp.int32)
@@ -165,9 +166,7 @@ def _cube_map_color(scene: T.Scene, pid, p):
         rem2(1.0 - z) / 2.0,        # Up
         rem2(z + 1.0) / 2.0,        # Down
     ], -1)
-    from raytracer_tpu.core.intersect import select_col
-
     u = select_col(u_faces, face)
     v = select_col(v_faces, face)
-    uv_id = select_col(scene.pat_uv[pid], face)
+    uv_id = select_col(table_gather(scene.pat_uv, pid), face)
     return _uv_pattern_at(scene, uv_id, u, v)

@@ -42,7 +42,7 @@ def shadowed(scene: T.Scene, points, light_pos):
     dist = jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-12)
     direction = v / dist[:, None]
     has, t, g, _, _ = I.nearest_hit(scene, points, direction)
-    return has & (t < dist) & scene.shadow[g]
+    return has & (t < dist) & I.table_gather(scene.shadow, g)
 
 
 def _det_jitter_tables(static: T.SceneStatic, s_total):
@@ -141,9 +141,9 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     over = point + EPSILON * normalv
     under = point - EPSILON * normalv
 
-    mat_rows = scene.mat[gid]
+    mat_rows = I.table_gather(scene.mat, gid)
     pat = pattern_color(scene, gid, over)
-    has_pat = scene.pattern_id[gid] >= 0
+    has_pat = I.table_gather(scene.pattern_id, gid) >= 0
     base_color = jnp.where(has_pat[:, None], pat, mat_rows[:, T.MAT_COLOR])
 
     surface = jnp.zeros_like(base_color)

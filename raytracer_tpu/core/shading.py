@@ -33,7 +33,9 @@ def normal_at(scene: T.Scene, gid, world_point, u, v):
     off = st.offsets
     ns, npl, ncu, ncy, nco, nt = st.counts
 
-    inv = scene.inv_tf[gid]
+    from raytracer_tpu.core.intersect import table_gather
+
+    inv = table_gather(scene.inv_tf, gid)
     lp = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point, precision="highest") + inv[:, :3, 3]
     lx, ly, lz = lp[:, 0], lp[:, 1], lp[:, 2]
 
@@ -88,7 +90,7 @@ def normal_at(scene: T.Scene, gid, world_point, u, v):
         local = jnp.where(in_fam[:, None], n_fam, local)
 
     # non-triangle: local normal -> world via normal matrix + normalize
-    world_n = normalize(jnp.einsum("rij,rj->ri", scene.normal_mat[gid], local, precision="highest"))
+    world_n = normalize(jnp.einsum("rij,rj->ri", table_gather(scene.normal_mat, gid), local, precision="highest"))
 
     # triangles: stored world-space normals
     if nt:
@@ -153,14 +155,14 @@ def refraction_indices_fast(scene: T.Scene, ts, gids, hit_slot):
     unroll to a handful of [R, C] ops — no [R, C, C] tensors. ~100x less
     HBM traffic on TPU; the generic version remains as the oracle.
     """
-    from raytracer_tpu.core.intersect import candidate_meta
+    from raytracer_tpu.core.intersect import candidate_meta, table_gather
 
     obj_np, siblings, _ = candidate_meta(scene.static)
     c = ts.shape[-1]
     assert len(obj_np) == c, (len(obj_np), c)
     idx = jnp.arange(c)
     valid = jnp.isfinite(ts)
-    refr = scene.mat[gids, T.MAT_REFRACTIVE]               # [R, C]
+    refr = table_gather(scene.mat[:, T.MAT_REFRACTIVE], gids)  # [R, C]
 
     from raytracer_tpu.core.intersect import select_col
 
