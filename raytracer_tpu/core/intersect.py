@@ -371,8 +371,11 @@ def candidate_hits(scene: T.Scene, origins, directions):
 
     Returns (ts [R,C], gid [R,C] i32, u [R,C], v [R,C]); misses have t=+inf.
     Column layout is static per scene: quadric families first (static gid
-    per column), then CSG triangles (dense), then the top-k reduced free
-    triangle set. CSG filtering (if any) has already been applied.
+    per column), then CSG triangles (dense), then ONE column holding the
+    nearest positive free-triangle hit (from the accelerated mesh path —
+    exact for hit(), and for the n1/n2 container walk a mesh triangle can
+    only matter as the hit itself: an opaque triangle strictly before the
+    hit would *be* the hit). CSG filtering has already been applied.
     """
     st = scene.static
     nt = st.counts[5]
@@ -381,12 +384,13 @@ def candidate_hits(scene: T.Scene, origins, directions):
 
     nt_free = nt - nt_csg
     if nt_free > 0:
-        k = min(TRI_TOPK, nt_free)
-        fts, fgid, fu, fv = _tri_free_topk(scene, origins, directions, nt_csg, nt_free, k)
-        ts = jnp.concatenate([ts, fts], -1)
-        gid = jnp.concatenate([gid, fgid], -1)
-        u = jnp.concatenate([u, fu], -1)
-        v = jnp.concatenate([v, fv], -1)
+        ft, fg, fu, fv = _tri_free_nearest(
+            scene, origins, directions, nt_csg, nt_free
+        )
+        ts = jnp.concatenate([ts, ft[:, None]], -1)
+        gid = jnp.concatenate([gid, fg[:, None]], -1)
+        u = jnp.concatenate([u, fu[:, None]], -1)
+        v = jnp.concatenate([v, fv[:, None]], -1)
 
     return ts, gid, u, v
 
@@ -559,7 +563,7 @@ def candidate_meta(static: T.SceneStatic):
         cols = [0]
 
     nt_free = static.counts[5] - static.n_csg_tris
-    k = min(TRI_TOPK, nt_free) if nt_free > 0 else 0
+    k = 1 if nt_free > 0 else 0  # one nearest-positive-hit column
     # unique pseudo-object ids for the top-k columns
     next_obj = (max(cols) + 1) if cols else 0
     obj = np.asarray(cols + [next_obj + i for i in range(k)], np.int32)
