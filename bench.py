@@ -37,11 +37,12 @@ def main():
     # warm-up / compile
     render(scene, cam)
 
-    n_iters = 3
-    t0 = time.perf_counter()
-    for i in range(n_iters):
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
         img = render(scene, cam)
-    dt = (time.perf_counter() - t0) / n_iters
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # median (tunnel variance)
 
     px_per_sec = cam.hsize * cam.vsize / dt
     assert np.isfinite(img).all()

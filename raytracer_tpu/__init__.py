@@ -17,6 +17,20 @@ Architecture (TPU-first, not a port):
     the scene replicated; gradients of scene parameters are psum-reduced.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Deep spawn-tree programs (depth-4 refraction over a Pallas-culled mesh)
+# can take many minutes to XLA-compile; persist compiled executables so
+# every process after the first starts warm. Opt out by setting
+# JAX_COMPILATION_CACHE_DIR to an empty string.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _cache = _os.path.expanduser("~/.cache/raytracer_tpu_xla")
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from raytracer_tpu.constants import EPSILON
 from raytracer_tpu import transforms
 from raytracer_tpu.camera import Camera
