@@ -59,6 +59,45 @@ def train_step(scene: T.Scene, origins, directions, target, *, lr=1e-2, key=None
     return loss, recombine(new_params)
 
 
+def make_optax_step(optimizer, *, param_filter=None):
+    """A jitted optax training step over the scene's float tables.
+
+    ``optimizer`` is any optax GradientTransformation (adam, sgd, ...).
+    ``param_filter``: optional predicate ``name -> bool`` choosing which
+    scene tables to optimize (others stay frozen). Returns
+    ``(init_fn(scene) -> opt_state, step_fn(scene, opt_state, o, d,
+    target, key) -> (loss, scene', opt_state'))``.
+    """
+    import optax  # baked into the image; imported lazily
+
+    def split(scene):
+        params, recombine = partition_scene(scene)
+        if param_filter is None:
+            return params, {}, recombine
+        train = {k: v for k, v in params.items() if param_filter(k)}
+        frozen = {k: v for k, v in params.items() if not param_filter(k)}
+        return train, frozen, recombine
+
+    def init_fn(scene):
+        train, _, _ = split(scene)
+        return optimizer.init(train)
+
+    @jax.jit
+    def step_fn(scene, opt_state, origins, directions, target, key=None):
+        train, frozen, recombine = split(scene)
+
+        def loss_fn(p):
+            return render_loss({**p, **frozen}, recombine, origins,
+                               directions, target, key)
+
+        loss, grads = jax.value_and_grad(loss_fn)(train)
+        updates, opt_state = optimizer.update(grads, opt_state, train)
+        train = optax.apply_updates(train, updates)
+        return loss, recombine({**train, **frozen}), opt_state
+
+    return init_fn, step_fn
+
+
 def make_sharded_train_step(mesh: Mesh, *, lr=1e-2):
     """A jitted train step with rays/targets sharded and params replicated.
 

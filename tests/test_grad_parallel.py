@@ -110,6 +110,21 @@ def test_train_step_reduces_loss():
     assert float(loss1) < float(loss0)
 
 
+def test_optax_step():
+    import optax
+    from raytracer_tpu.parallel.train import make_optax_step
+
+    scene, _, o, d = small_setup()
+    target = jnp.full((o.shape[0], 3), 0.25)
+    init_fn, step_fn = make_optax_step(
+        optax.adam(1e-2), param_filter=lambda k: k == "mat")
+    opt_state = init_fn(scene)
+    loss0, scene, opt_state = step_fn(scene, opt_state, o, d, target)
+    for _ in range(4):
+        loss, scene, opt_state = step_fn(scene, opt_state, o, d, target)
+    assert float(loss) < float(loss0)
+
+
 def test_sharded_render_matches_single_device():
     scene, cam, o, d = small_setup()
     img_single = np.asarray(color_at(scene, o, d)).reshape(cam.vsize, cam.hsize, 3)
