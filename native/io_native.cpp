@@ -106,8 +106,11 @@ int obj_fill(const char* text, int64_t len, float* verts, float* norms,
   int64_t group = 0;
   bool group_has_tris = false;
 
-  int64_t corner_v[64];
-  int64_t corner_n[64];
+  // Dynamic corner buffers: obj_count() sizes the output for ALL corners of
+  // a polygon face, so obj_fill must triangulate them all too (a fixed cap
+  // here would leave trailing output rows uninitialized).
+  std::vector<int64_t> corner_v;
+  std::vector<int64_t> corner_n;
 
   while (p < end) {
     p = skip_ws(p, end);
@@ -131,8 +134,9 @@ int obj_fill(const char* text, int64_t len, float* verts, float* norms,
       if (group_has_tris) { ++group; group_has_tris = false; }
     } else if (p + 1 < end && p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
       const char* q = p + 1;
-      int corners = 0;
-      while (q < end && *q != '\n' && corners < 64) {
+      corner_v.clear();
+      corner_n.clear();
+      while (q < end && *q != '\n') {
         q = skip_ws(q, end);
         if (q >= end || *q == '\n' || *q == '\r') break;
         int64_t v = 0, n = -1;
@@ -142,13 +146,13 @@ int obj_fill(const char* text, int64_t len, float* verts, float* norms,
           if (q < end && *q != '/') { int64_t vt; q = parse_i64(q, end, &vt); }
           if (q < end && *q == '/') { ++q; q = parse_i64(q, end, &n); }
         }
-        corner_v[corners] = v > 0 ? v - 1 : vi + v;
-        corner_n[corners] = n == -1 ? -1 : (n > 0 ? n - 1 : ni + n);
-        ++corners;
+        corner_v.push_back(v > 0 ? v - 1 : vi + v);
+        corner_n.push_back(n == -1 ? -1 : (n > 0 ? n - 1 : ni + n));
         while (q < end && *q != ' ' && *q != '\t' && *q != '\n' && *q != '\r')
           ++q;
       }
-      for (int k = 1; k + 1 < corners; ++k) {
+      int64_t corners = (int64_t)corner_v.size();
+      for (int64_t k = 1; k + 1 < corners; ++k) {
         tri_v[ti * 3 + 0] = corner_v[0];
         tri_v[ti * 3 + 1] = corner_v[k];
         tri_v[ti * 3 + 2] = corner_v[k + 1];

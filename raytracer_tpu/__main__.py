@@ -28,8 +28,10 @@ def main(argv=None) -> int:
                         help="Add dithering effect to the final image")
     parser.add_argument("--out", metavar="FILE",
                         help="Optional output ppm file, defaults to stdout")
-    parser.add_argument("--tile-rays", type=int, default=1 << 16,
-                        help="Rays per device dispatch (memory/perf knob)")
+    parser.add_argument("--tile-rays", type=int, default=None,
+                        help="Rays per device dispatch (memory/perf knob); "
+                             "default picks adaptively (small screen-local "
+                             "tiles for mesh-heavy scenes)")
     args = parser.parse_args(argv)
 
     canvas = render_scene_file(

@@ -254,6 +254,18 @@ def _block_order(h, w, block):
     return np.concatenate(cols)
 
 
+def pick_tile_rays(static: T.SceneStatic) -> int:
+    """Adaptive rays-per-dispatch. Mesh-heavy scenes want small
+    screen-local tiles: chunk-AABB culling rejects ~70-90% of triangle
+    chunks for a tight ray frustum but almost none for a frame-wide one
+    (measured 7x on a 632k-triangle scene). Small scenes prefer fewer
+    dispatches (each host->device dispatch costs ~hundreds of us to
+    ~200ms on remote TPU transports); depth-4 spawn trees bound the
+    ceiling."""
+    n_free_tris = static.counts[5] - static.n_csg_tris
+    return 1 << 13 if n_free_tris > 20000 else 1 << 17
+
+
 def render(scene: T.Scene, camera, *, key=None, tile_rays=None):
     """Full frame -> float32 [vsize, hsize, 3] numpy image."""
     from raytracer_tpu.camera import ray_grid
@@ -261,14 +273,7 @@ def render(scene: T.Scene, camera, *, key=None, tile_rays=None):
     if key is None:
         key = jax.random.PRNGKey(0)
     if tile_rays is None:
-        # Mesh-heavy scenes want small screen-local tiles: chunk-AABB
-        # culling rejects ~70-90% of triangle chunks for a tight ray
-        # frustum but almost none for a frame-wide one (measured 7x on a
-        # 632k-triangle scene). Small scenes prefer fewer dispatches
-        # (each host->device dispatch costs ~hundreds of us to ~200ms on
-        # remote TPU transports); depth-4 spawn trees bound the ceiling.
-        n_free_tris = scene.static.counts[5] - scene.static.n_csg_tris
-        tile_rays = 1 << 13 if n_free_tris > 20000 else 1 << 17
+        tile_rays = pick_tile_rays(scene.static)
     # Pin the scene tables on device once; otherwise every tile dispatch
     # re-transfers the whole SoA from host (catastrophic over remote TPU).
     scene = jax.device_put(scene)

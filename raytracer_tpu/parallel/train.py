@@ -20,18 +20,38 @@ from raytracer_tpu.core import types as T
 from raytracer_tpu.core.render import color_at
 
 
-def partition_scene(scene: T.Scene):
+# Float tables that are DERIVED from (or coupled to) other tables at scene
+# build time: inv_tf pairs with normal_mat, the triangle vertex/edge tables
+# pair with their precomputed world-space normals, pat_inv is the inverse of
+# the pattern transform, and alight_pos is computed from corner/uvec/vvec.
+# Optimizing one of these without recomputing its partners silently desyncs
+# geometry from its shading normals, so they are excluded from the default
+# grad surface (opt in with include_geometry=True and keep them consistent
+# yourself, e.g. by reparameterizing on the source transform).
+DERIVED_GEOMETRY = frozenset({
+    "inv_tf", "normal_mat",
+    "tri_p1", "tri_e1", "tri_e2",
+    "tri_n1", "tri_n2", "tri_n3", "tri_flat_n",
+    "pat_inv",
+    "alight_corner", "alight_uvec", "alight_vvec", "alight_pos",
+})
+
+
+def partition_scene(scene: T.Scene, *, include_geometry: bool = False):
     """Split the scene into (diff_params, recombine_fn).
 
-    ``diff_params`` is a dict of every float-dtype array field — the
-    grad-able surface. Integer/bool tables (ids, flags) stay static.
+    ``diff_params`` is a dict of float-dtype array fields — the grad-able
+    surface: materials, light intensities/positions, pattern colors, images.
+    Integer/bool tables (ids, flags) stay static, and so do the
+    :data:`DERIVED_GEOMETRY` tables unless ``include_geometry`` is set.
     """
     params, rest = {}, {}
     for f in dataclasses.fields(scene):
         if f.name == "static":
             continue
         val = getattr(scene, f.name)
-        if hasattr(val, "dtype") and jnp.issubdtype(val.dtype, jnp.floating):
+        is_float = hasattr(val, "dtype") and jnp.issubdtype(val.dtype, jnp.floating)
+        if is_float and (include_geometry or f.name not in DERIVED_GEOMETRY):
             params[f.name] = val
         else:
             rest[f.name] = val

@@ -366,7 +366,7 @@ def render_scene_file(
     obj_files=(),
     ppm_files=(),
     dithering=None,
-    tile_rays=1 << 16,
+    tile_rays=None,
     key=None,
 ):
     """Scene::render (scene.rs:72-227): YAML file → Canvas (after optional

@@ -9,6 +9,8 @@ render continues from the first missing tile.
 
 from __future__ import annotations
 
+import dataclasses
+import hashlib
 import json
 from pathlib import Path
 
@@ -18,6 +20,25 @@ import numpy as np
 
 from raytracer_tpu.core.render import _block_order, _color_at_jit
 from raytracer_tpu.utils.profiling import RenderStats
+
+
+def _render_digest(scene, key) -> str:
+    """Digest of everything that determines tile contents: every scene
+    table, the static facts (incl. recursion limit and jitter mode) and
+    the PRNG key. A checkpoint made for a different scene/key must not be
+    resumed — it would silently mix stale tiles into the output."""
+    h = hashlib.sha256()
+    for f in dataclasses.fields(scene):
+        val = getattr(scene, f.name)
+        h.update(f.name.encode())
+        if f.name == "static":
+            h.update(repr(val).encode())
+        else:
+            a = np.asarray(val)
+            h.update(str(a.dtype).encode() + str(a.shape).encode())
+            h.update(a.tobytes())
+    h.update(np.asarray(key).tobytes())
+    return h.hexdigest()
 
 
 def render_resumable(scene, camera, checkpoint_path, *, key=None,
@@ -43,7 +64,8 @@ def render_resumable(scene, camera, checkpoint_path, *, key=None,
     tile = min(tile_rays, n)
     n_tiles = -(-n // tile)
 
-    meta = dict(h=camera.vsize, w=camera.hsize, tile=tile)
+    meta = dict(h=camera.vsize, w=camera.hsize, tile=tile,
+                digest=_render_digest(scene, key))
     if meta_p.exists() and json.loads(meta_p.read_text()) == meta \
             and img_p.exists() and done_p.exists():
         flat = np.lib.format.open_memmap(img_p, mode="r+")

@@ -36,6 +36,34 @@ def test_cli_render_to_file(tmp_path):
     assert img.max() > 0.1
 
 
+def test_cli_default_tile_is_adaptive(tmp_path, monkeypatch):
+    """The CLI must not pin tile_rays: mesh-heavy scenes rely on render()'s
+    adaptive small screen-local tiles (the measured 7x chunk-culling win)."""
+    from raytracer_tpu.core.render import pick_tile_rays
+    from raytracer_tpu.core.types import SceneStatic
+
+    seen = {}
+    import raytracer_tpu.core.render as rr
+    orig = rr.render
+
+    def spy(scene, camera, *, tile_rays=None, **kw):
+        seen["tile_rays"] = tile_rays
+        return orig(scene, camera, tile_rays=tile_rays, **kw)
+
+    monkeypatch.setattr(rr, "render", spy)
+    scene_p = tmp_path / "scene.yaml"
+    scene_p.write_text(SCENE)
+    rc = main(["--scene", str(scene_p), "--out", str(tmp_path / "o.ppm")])
+    assert rc == 0
+    assert seen["tile_rays"] is None  # adaptive path engaged
+
+    # and the adaptive choice picks small tiles for mesh-heavy scenes
+    mesh_static = SceneStatic(counts=(0, 0, 0, 0, 0, 30000))
+    small_static = SceneStatic(counts=(2, 1, 0, 0, 0, 0))
+    assert pick_tile_rays(mesh_static) == 1 << 13
+    assert pick_tile_rays(small_static) == 1 << 17
+
+
 def test_cli_dithering(tmp_path):
     scene_p = tmp_path / "scene.yaml"
     scene_p.write_text(SCENE)

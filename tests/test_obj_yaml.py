@@ -103,6 +103,30 @@ f 1//1 2//1 3//1
         assert np.allclose(a, b), (a, b)
 
 
+def test_obj_huge_polygon_face():
+    # A 70-corner face must fan-triangulate to 68 triangles with every
+    # output row written (the native path once capped corner buffers at 64,
+    # leaving the trailing rows as uninitialized garbage).
+    from raytracer_tpu import native
+    from raytracer_tpu.obj import _parse_obj_python
+
+    n = 70
+    lines = [
+        f"v {math.cos(2 * math.pi * i / n)} {math.sin(2 * math.pi * i / n)} 0"
+        for i in range(n)
+    ]
+    lines.append("f " + " ".join(str(i + 1) for i in range(n)))
+    content = "\n".join(lines) + "\n"
+
+    py = _parse_obj_python(content)
+    assert py[2].shape == (n - 2, 3)
+    assert py[2].max() == n - 1 and py[2].min() == 0
+    if native.available():
+        nat = native.parse_obj_arrays(content)
+        for a, b in zip(py, nat):
+            assert np.allclose(a, b), (a, b)
+
+
 def test_eval_math():
     assert abs(eval_math("PI/3") - math.pi / 3) < 1e-9
     assert abs(eval_math("-PI/2") + math.pi / 2) < 1e-9
