@@ -1,56 +1,183 @@
-"""Headline benchmark: full-frame forward render throughput.
+"""Headline benchmark matrix.
 
-Renders the flagship scene (reflective floor + three spheres incl. glass,
-checker pattern, point light, depth-4 reflection+refraction) at 1280x720 —
-the reference's default resolution (samples/scenes/basic_scene.yaml:3-4) —
-and reports pixels/sec (primary rays/sec; every pixel additionally pays
-shadow + up to 2^4 secondary rays inside the timed region).
+Headline metric: the dragons-equivalent mesh scene — the same structure,
+materials, camera and resolution as the reference's only published perf
+anchor (dragons.yaml: 1200x480, ~45 min on a 16-core CPU =
+/root/reference/README.md:95-96 => ~213 px/s), with each ~100k-triangle
+dragon.obj (external download) replaced by 28 instanced teapot.obj meshes
+(537,600 smooth triangles total; see benchmarks/gen_dragons_equiv.py).
+It renders through the CLI/YAML path end-to-end, exactly how a reference
+user would run it. ``vs_baseline`` = dragons-equivalent px/s over the
+reference's 213 px/s (same resolution, same scene class).
 
-Baseline: the reference publishes exactly one number — dragons.yaml,
-1200x480 px in ~45 min on a 16-core CPU (README.md:95-96) = ~213 px/s.
-``vs_baseline`` is pixels/sec here divided by that 213 px/s. Scenes differ
-(dragons is mesh-heavy; this is the standard 3-sphere scene) — it is the
-only wall-clock figure the reference provides. This will switch to a true
-same-scene comparison once the YAML/OBJ path renders dragons.yaml.
+Also reported (in "matrix"): the flagship 3-sphere glass scene at
+1280x720 depth-4, soft_shadows (10x10 area light = 100 shadow rays/hit),
+total traced rays/s, and a cost_analysis-based roofline estimate
+(caveat: XLA's "bytes accessed" overcounts gather operands; treat GB/s
+as an upper bound).
+
+Usage: python bench.py [--smoke]
 """
 
 import json
 import math
+import sys
 import time
+from pathlib import Path
 
-import jax
 import numpy as np
 
 BASELINE_PX_PER_SEC = 576000 / 2700.0  # dragons.yaml: 1200*480 px / ~45 min
 
+REF = Path("/root/reference/samples")
+REPO = Path(__file__).parent
 
-TILE = 1 << 16  # rays per jit call; bounds the depth-4 spawn tree in HBM
+
+def median_time(fn, iters=5):
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2], out
 
 
-def main():
+def rays_per_pixel(scene):
+    """Statically-known traced rays per pixel: the wavefront integrator
+    spawns (reflect?+refract?) child streams per level, and every
+    stream-ray traces 1 primary + 1 shadow ray per point light + us*vs
+    shadow rays per area light."""
+    st = scene.static
+    n_point = int(scene.plight_pos.shape[0])
+    shadow_per_ray = n_point + sum(us * vs for us, vs in st.area_steps)
+    n_spawn = int(st.has_reflective) + int(st.has_transparency)
+    total = 0
+    streams = 1
+    for level in range(st.recursion_limit + 1):
+        total += streams * (1 + shadow_per_ray)
+        streams *= max(n_spawn, 1)
+        if n_spawn == 0:
+            break
+    return total
+
+
+def bench_dragons(iters):
+    from raytracer_tpu.scene.yaml_scene import parse_scene
+    from raytracer_tpu.core.render import render
+
+    cam, scene = parse_scene(
+        (REPO / "benchmarks/dragons_equiv.yaml").read_text(),
+        obj_files=[str(REF / "obj/teapot.obj")],
+    )
+    render(scene, cam)  # warm-up/compile
+    dt, img = median_time(lambda: render(scene, cam), iters)
+    assert np.isfinite(img).all()
+    px = cam.hsize * cam.vsize
+    return dict(
+        px_per_sec=round(px / dt, 1),
+        seconds_per_frame=round(dt, 3),
+        rays_per_sec=round(px / dt * rays_per_pixel(scene), 1),
+        triangles=int(scene.static.counts[5]),
+        resolution=f"{cam.hsize}x{cam.vsize}",
+    ), cam, scene, dt
+
+
+def bench_flagship(iters, hsize=1280, vsize=720):
     from __graft_entry__ import _flagship_scene, _camera
     from raytracer_tpu.core.render import render
 
     scene = _flagship_scene()
-    cam = _camera(1280, 720)
-
-    # warm-up / compile
+    cam = _camera(hsize, vsize)
     render(scene, cam)
-
-    times = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        img = render(scene, cam)
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]  # median (tunnel variance)
-
-    px_per_sec = cam.hsize * cam.vsize / dt
+    dt, img = median_time(lambda: render(scene, cam), iters)
     assert np.isfinite(img).all()
+    px = cam.hsize * cam.vsize
+    return dict(
+        px_per_sec=round(px / dt, 1),
+        seconds_per_frame=round(dt, 3),
+        rays_per_sec=round(px / dt * rays_per_pixel(scene), 1),
+        resolution=f"{cam.hsize}x{cam.vsize}",
+    )
+
+
+def bench_soft_shadows(iters):
+    import jax
+    from raytracer_tpu.scene.yaml_scene import parse_scene
+    from raytracer_tpu.core.render import render
+
+    cam, scene = parse_scene((REF / "scenes/soft_shadows.yaml").read_text())
+    key = jax.random.PRNGKey(0)
+    render(scene, cam, key=key)
+    dt, img = median_time(lambda: render(scene, cam, key=key), iters)
+    assert np.isfinite(img).all()
+    px = cam.hsize * cam.vsize
+    return dict(
+        px_per_sec=round(px / dt, 1),
+        seconds_per_frame=round(dt, 3),
+        rays_per_sec=round(px / dt * rays_per_pixel(scene), 1),
+        resolution=f"{cam.hsize}x{cam.vsize}",
+    )
+
+
+def roofline_estimate(cam, scene, frame_dt):
+    """FLOP/s and HBM GB/s achieved on the dragons tile program, from the
+    compiled executable's cost analysis. Bytes include XLA's per-element
+    gather operand accounting, so GB/s is an UPPER bound on real traffic."""
+    import jax
+    from raytracer_tpu.core.render import _color_at_jit, pick_tile_rays
+
+    try:
+        tile = pick_tile_rays(scene.static)
+        o = np.zeros((tile, 3), np.float32)
+        d = np.tile(np.array([0, 0, 1], np.float32), (tile, 1))
+        key = jax.random.PRNGKey(0)
+        lowered = _color_at_jit.lower(
+            scene, o, d, key, scene.static.recursion_limit
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        n_tiles = -(-cam.hsize * cam.vsize // tile)
+        flops = float(cost.get("flops", 0.0)) * n_tiles
+        byts = float(cost.get("bytes accessed", 0.0)) * n_tiles
+        return dict(
+            gflops_per_sec=round(flops / frame_dt / 1e9, 1),
+            gbytes_per_sec_upper_bound=round(byts / frame_dt / 1e9, 1),
+            flops_per_byte=round(flops / max(byts, 1.0), 3),
+        )
+    except Exception as e:  # cost analysis unavailable on some backends
+        return dict(error=str(e)[:120])
+
+
+def main():
+    smoke = "--smoke" in sys.argv
+    if smoke:
+        flag = bench_flagship(1, hsize=64, vsize=36)
+        print(json.dumps({
+            "metric": "smoke_flagship_px_per_sec",
+            "value": flag["px_per_sec"],
+            "unit": "pixels/sec",
+            "vs_baseline": round(flag["px_per_sec"] / BASELINE_PX_PER_SEC, 2),
+        }))
+        return
+
+    dragons, cam, scene, dt = bench_dragons(3)
+    flagship = bench_flagship(5)
+    soft = bench_soft_shadows(3)
+    roof = roofline_estimate(cam, scene, dt)
+
     print(json.dumps({
-        "metric": "render_pixels_per_sec_1280x720_depth4",
-        "value": round(px_per_sec, 1),
+        "metric": "dragons_equiv_537k_tris_px_per_sec_1200x480_depth4",
+        "value": dragons["px_per_sec"],
         "unit": "pixels/sec",
-        "vs_baseline": round(px_per_sec / BASELINE_PX_PER_SEC, 2),
+        "vs_baseline": round(dragons["px_per_sec"] / BASELINE_PX_PER_SEC, 2),
+        "matrix": {
+            "dragons_equiv": dragons,
+            "flagship_1280x720": flagship,
+            "soft_shadows": soft,
+            "roofline_dragons": roof,
+            "baseline_px_per_sec": round(BASELINE_PX_PER_SEC, 1),
+        },
     }))
 
 

@@ -36,8 +36,6 @@ INF = jnp.inf
 
 # Triangles per scan chunk (trade VMEM/HBM traffic vs. scan length).
 TRI_CHUNK = 256
-# Top-k nearest kept per ray for the "free" (non-CSG) triangle set.
-TRI_TOPK = 8
 
 
 def select_col(x, idx):
@@ -248,9 +246,17 @@ def _tri_moller_trumbore(o, d, p1, e1, e2):
     return jnp.where(ok, t, INF), u, v
 
 
-def _tri_free_topk(scene: T.Scene, origins, directions, start, count, k):
-    """Chunked scan over the non-CSG triangle range, keeping the k nearest
-    hits per ray. Returns (ts, gid, u, v) each [R, k]."""
+def _tri_behind_scan(scene: T.Scene, origins, directions, start, count):
+    """The free-triangle entry with the LARGEST t <= 0 (nearest behind the
+    ray origin), chunked scan with line-AABB culling.
+
+    A chunk can only contribute when the infinite line enters its AABB at
+    some t <= 0, which forward-facing chunks (tmin > 0) fail — for camera
+    rays nearly every chunk is culled, so this pass is cheap.
+
+    Returns (t [R] (-inf = none), gid [R]); u/v are irrelevant (a t<=0
+    entry can never be the hit, it only feeds the n1/n2 container walk).
+    """
     r = origins.shape[0]
     n_pad = -count % TRI_CHUNK
     sl = slice(start, start + count)
@@ -261,33 +267,40 @@ def _tri_free_topk(scene: T.Scene, origins, directions, start, count, k):
     p1 = pad(scene.tri_p1).reshape(-1, TRI_CHUNK, 3)
     e1 = pad(scene.tri_e1).reshape(-1, TRI_CHUNK, 3)
     e2 = pad(scene.tri_e2).reshape(-1, TRI_CHUNK, 3)
+    v0, v1_, v2_ = p1, p1 + e1, p1 + e2
+    bb_min = jnp.minimum(jnp.minimum(v0, v1_), v2_).min(axis=1)
+    bb_max = jnp.maximum(jnp.maximum(v0, v1_), v2_).max(axis=1)
     n_chunks = p1.shape[0]
 
-    init = (
-        jnp.full((r, k), INF),
-        jnp.zeros((r, k), jnp.int32),
-        jnp.zeros((r, k)),
-        jnp.zeros((r, k)),
-    )
+    inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-12, 1e-12, directions)
+    init = (jnp.full((r,), -INF), jnp.zeros((r,), jnp.int32))
 
     def body(carry, chunk):
-        bts, bidx, bu, bv = carry
-        cp1, ce1, ce2, cbase = chunk
-        ts, u, v = _tri_moller_trumbore(origins, directions, cp1, ce1, ce2)
-        idx = cbase + jax.lax.broadcasted_iota(jnp.int32, ts.shape, 1)
-        all_ts = jnp.concatenate([bts, ts], -1)
-        neg, sel = jax.lax.top_k(-all_ts, k)
+        cp1, ce1, ce2, cbase, cmin, cmax = chunk
+        t0 = (cmin[None] - origins) * inv_d
+        t1 = (cmax[None] - origins) * inv_d
+        tmin = jnp.max(jnp.minimum(t0, t1), -1)
+        tmax = jnp.min(jnp.maximum(t0, t1), -1)
+        bt = carry[0]
+        # relevant iff the line crosses the AABB at some t in (bt, 0]
+        hit_bb = (tmin <= tmax + EPSILON) & (tmin <= 0.0) & (tmax > bt)
 
-        def g(a, b):
-            return jnp.take_along_axis(jnp.concatenate([a, b], -1), sel, -1)
+        def run(c):
+            bt, bg = c
+            ts, _, _ = _tri_moller_trumbore(origins, directions, cp1, ce1, ce2)
+            ts = jnp.where((ts <= 0.0) & jnp.isfinite(ts), ts, -INF)
+            j = jnp.argmax(ts, -1)
+            ct = select_col(ts, j)
+            better = ct > bt
+            return (jnp.where(better, ct, bt), jnp.where(better, cbase + j, bg))
 
-        return (-neg, g(bidx, idx), g(bu, u), g(bv, v)), None
+        return jax.lax.cond(jnp.any(hit_bb), run, lambda c: c, carry), None
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * TRI_CHUNK
-    (bts, bidx, bu, bv), _ = jax.lax.scan(body, init, (p1, e1, e2, bases))
+    (bt, bg), _ = jax.lax.scan(body, init, (p1, e1, e2, bases, bb_min, bb_max))
     tri_off = sum(scene.static.counts[:5])
-    gid = tri_off + start + jnp.minimum(bidx, count - 1)
-    return bts, gid, bu, bv
+    gid = tri_off + start + jnp.minimum(bg, count - 1)
+    return bt, gid
 
 
 def _static_hits(scene: T.Scene, origins, directions):
@@ -371,11 +384,23 @@ def candidate_hits(scene: T.Scene, origins, directions):
 
     Returns (ts [R,C], gid [R,C] i32, u [R,C], v [R,C]); misses have t=+inf.
     Column layout is static per scene: quadric families first (static gid
-    per column), then CSG triangles (dense), then ONE column holding the
-    nearest positive free-triangle hit (from the accelerated mesh path —
-    exact for hit(), and for the n1/n2 container walk a mesh triangle can
-    only matter as the hit itself: an opaque triangle strictly before the
-    hit would *be* the hit). CSG filtering has already been applied.
+    per column), then CSG triangles (dense), then one column holding the
+    nearest POSITIVE free-triangle hit, and — when a free mesh material is
+    transparent — one column holding the nearest-BEHIND free-triangle
+    entry (largest t <= 0, -inf when none). CSG filtering has already been
+    applied to the static region.
+
+    Why two columns are *exact* for the reference's n1/n2 container walk
+    (intersections.rs:141-160), which consumes ALL intersections incl.
+    negative t: each triangle is its own container object (triangle.rs
+    shapes are independent), a ray meets a given triangle at most once, so
+    every triangle entry strictly before the hit is an OPEN container —
+    and the walk only ever reads ``containers.last()``, the live entry
+    with the largest (t, order) key. Free-triangle entries with
+    0 < t < t_hit cannot exist (the nearest positive IS the hit
+    candidate), so the only triangle entry the walk can select is the one
+    with the largest t <= 0 — exactly the behind column. All other
+    negative-t triangle entries are dominated and never observable.
     """
     st = scene.static
     nt = st.counts[5]
@@ -387,10 +412,17 @@ def candidate_hits(scene: T.Scene, origins, directions):
         ft, fg, fu, fv = _tri_free_nearest(
             scene, origins, directions, nt_csg, nt_free
         )
-        ts = jnp.concatenate([ts, ft[:, None]], -1)
-        gid = jnp.concatenate([gid, fg[:, None]], -1)
-        u = jnp.concatenate([u, fu[:, None]], -1)
-        v = jnp.concatenate([v, fv[:, None]], -1)
+        cols_t, cols_g, cols_u, cols_v = [ft], [fg], [fu], [fv]
+        if st.mesh_transparent:
+            bt, bg = _tri_behind_scan(scene, origins, directions, nt_csg, nt_free)
+            cols_t.append(bt)
+            cols_g.append(bg)
+            cols_u.append(jnp.zeros_like(bt))
+            cols_v.append(jnp.zeros_like(bt))
+        ts = jnp.concatenate([ts] + [c[:, None] for c in cols_t], -1)
+        gid = jnp.concatenate([gid] + [c[:, None] for c in cols_g], -1)
+        u = jnp.concatenate([u] + [c[:, None] for c in cols_u], -1)
+        v = jnp.concatenate([v] + [c[:, None] for c in cols_v], -1)
 
     return ts, gid, u, v
 
@@ -546,9 +578,12 @@ def candidate_meta(static: T.SceneStatic):
     :func:`candidate_hits`: per-column object id, and for every column the
     list of sibling columns belonging to the same object.
 
-    Free-triangle top-k columns carry dynamic gids but each is its own
-    object (a ray meets a given triangle once), so they have no siblings.
-    Returns (obj_of_col int32 [C], siblings list[list[int]], c_static).
+    Free-triangle columns (nearest-positive, and nearest-behind when the
+    mesh is transparent) carry dynamic gids but each is its own object (a
+    ray meets a given triangle once, and the two columns always hold
+    different triangles: one has t > 0, the other t <= 0), so they have
+    no siblings. Returns (obj_of_col int32 [C], siblings list[list[int]],
+    c_static).
     """
     cols = []
     for name, slots in (("sphere", 2), ("plane", 1), ("cube", 2),
@@ -563,7 +598,9 @@ def candidate_meta(static: T.SceneStatic):
         cols = [0]
 
     nt_free = static.counts[5] - static.n_csg_tris
-    k = 1 if nt_free > 0 else 0  # one nearest-positive-hit column
+    # nearest-positive column, plus the nearest-behind column for
+    # transparent meshes — must mirror candidate_hits' layout
+    k = (1 + int(static.mesh_transparent)) if nt_free > 0 else 0
     # unique pseudo-object ids for the top-k columns
     next_obj = (max(cols) + 1) if cols else 0
     obj = np.asarray(cols + [next_obj + i for i in range(k)], np.int32)
@@ -591,6 +628,8 @@ def sorted_hits(scene: T.Scene, origins, directions):
     Returns (ts, gid, u, v) each [R, K], ascending by t, +inf padded.
     """
     ts, gid, u, v = candidate_hits(scene, origins, directions)
+    # the behind column's "none" sentinel is -inf — treat as a miss here
+    ts = jnp.where(jnp.isneginf(ts), INF, ts)
     k = min(scene.static.top_k, ts.shape[-1])
     if ts.shape[-1] == k:
         order = jnp.argsort(ts, axis=-1)

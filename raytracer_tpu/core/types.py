@@ -83,6 +83,10 @@ class SceneStatic:
     n_csg_tris: int = 0
     has_reflective: bool = False
     has_transparency: bool = False
+    # Any FREE (non-CSG) mesh triangle with transparency > 0: the n1/n2
+    # container walk then also needs the nearest-BEHIND triangle entry
+    # (see intersect.candidate_hits).
+    mesh_transparent: bool = False
     # Deterministic area-light jitter sequence (test mode, lights.rs:77-81);
     # None means seeded-random jitter.
     jitter: tuple | None = None

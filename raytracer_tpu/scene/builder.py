@@ -406,6 +406,11 @@ class _Builder:
 
         has_reflective = bool((mat[:g, T.MAT_REFLECTIVE] != 0).any()) if g else False
         has_transparency = bool((mat[:g, T.MAT_TRANSPARENCY] != 0).any()) if g else False
+        # free (non-CSG) triangles with a transparent material need the
+        # nearest-behind candidate column (intersect.candidate_hits)
+        mesh_transparent = bool(
+            (mat[g_nt + n_csg_tris : g, T.MAT_TRANSPARENCY] != 0).any()
+        ) if nt - n_csg_tris > 0 else False
 
         n_candidates = (
             2 * counts[0] + counts[1] + 2 * counts[2] + 4 * counts[3]
@@ -422,6 +427,7 @@ class _Builder:
             n_csg_tris=n_csg_tris,
             has_reflective=has_reflective,
             has_transparency=has_transparency,
+            mesh_transparent=mesh_transparent,
             jitter=tuple(jitter) if jitter is not None else None,
             top_k=top_k,
             recursion_limit=recursion_limit,

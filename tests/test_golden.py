@@ -52,9 +52,40 @@ def render_bands(name, bands):
     ("basic_scene", (180, 360, 600)),
     ("csg", (300, 360, 420)),
     ("checkered_plane", (120, 250, 350)),
+    ("checkered_cube", (100, 200, 300)),
+    ("checkered_cylinder", (100, 200, 300)),
+    ("checkered_sphere", (100, 200, 300)),
+    ("cover", (300, 640, 900)),
+    ("space_ship", (200, 360, 520)),
+    ("space_teapot", (250, 400, 550)),
 ])
 def test_band_parity(name, bands):
     for ours, ref in render_bands(name, bands):
         diff = np.abs(ours.astype(int) - ref.astype(int)).max(-1)
         exact = (diff == 0).mean()
         assert exact >= 0.995, (name, exact, diff.max())
+
+
+def test_soft_shadows_statistical_envelope():
+    """soft_shadows uses unseeded RNG jitter in the reference
+    (lights.rs:114-120), so per-pixel equality is not defined; assert the
+    seeded stochastic render stays inside a tight statistical envelope of
+    the committed reference image."""
+    import jax
+
+    cam, scene = parse_scene(
+        (SCENES / "soft_shadows.yaml").read_text(), obj_files=OBJS
+    )
+    ref = np.asarray(Image.open(RENDERED / "soft_shadows.png").convert("RGB"))
+    origins, directions = ray_grid(cam)
+    w = cam.hsize
+    y0 = 200
+    rows = slice(y0 * w, (y0 + 8) * w)
+    img = np.asarray(color_at(
+        scene, origins[rows], directions[rows], key=jax.random.PRNGKey(0)
+    ))
+    ours = quantize_u8(img.reshape(8, w, 3)).astype(int)
+    band = ref[y0 : y0 + 8].astype(int)
+    diff = np.abs(ours - band)
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff <= 8).mean() > 0.99, (diff > 8).mean()
