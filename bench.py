@@ -5,7 +5,7 @@ materials, camera and resolution as the reference's only published perf
 anchor (dragons.yaml: 1200x480, ~45 min on a 16-core CPU =
 /root/reference/README.md:95-96 => ~213 px/s), with each ~100k-triangle
 dragon.obj (external download) replaced by 28 instanced teapot.obj meshes
-(537,600 smooth triangles total; see benchmarks/gen_dragons_equiv.py).
+(1,061,760 smooth triangles total; see benchmarks/gen_dragons_equiv.py).
 It renders through the CLI/YAML path end-to-end, exactly how a reference
 user would run it. ``vs_baseline`` = dragons-equivalent px/s over the
 reference's 213 px/s (same resolution, same scene class).
@@ -167,7 +167,7 @@ def main():
     roof = roofline_estimate(cam, scene, dt)
 
     print(json.dumps({
-        "metric": "dragons_equiv_537k_tris_px_per_sec_1200x480_depth4",
+        "metric": "dragons_equiv_1.06M_tris_px_per_sec_1200x480_depth4",
         "value": dragons["px_per_sec"],
         "unit": "pixels/sec",
         "vs_baseline": round(dragons["px_per_sec"] / BASELINE_PX_PER_SEC, 2),

@@ -1,0 +1,157 @@
+"""Multi-device scaling measurement (VERDICT r1 item 5).
+
+Weak-scaling sweep of the sharded renderer and the sharded train step
+over 1/2/4/8 devices of a virtual CPU mesh
+(xla_force_host_platform_device_count). On this machine the virtual
+devices SHARE the same physical cores, so wall-clock efficiency here is
+a *machinery smoke*, not a hardware scaling claim — the artifact records
+it as mode="cpu_virtual_smoke". On a real pod slice the same script
+measures true ICI scaling (mode="tpu").
+
+Writes SCALING_r{N}.json at the repo root.
+
+Run: python benchmarks/bench_scaling.py [--out SCALING_r02.json]
+"""
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+# Force the virtual CPU mesh unless explicitly benchmarking a real multi-
+# chip TPU slice. (Touching jax.devices() first would initialize the
+# backend and make the platform switch a no-op.)
+if os.environ.get("RAYTRACER_SCALING_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from raytracer_tpu import transforms as tf  # noqa: E402
+from raytracer_tpu.camera import Camera, ray_grid  # noqa: E402
+from raytracer_tpu.scene import specs as S  # noqa: E402
+from raytracer_tpu.scene.builder import build_scene  # noqa: E402
+from raytracer_tpu.parallel.mesh import (  # noqa: E402
+    make_mesh, replicate_scene, shard_rays,
+)
+from raytracer_tpu.parallel.train import make_sharded_train_step  # noqa: E402
+from raytracer_tpu.core.render import color_at  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+PER_DEVICE_RAYS = 1 << 12
+
+
+def flagship_scene():
+    return build_scene([
+        S.PointLight(position=(-10.0, 10.0, -10.0)),
+        S.Plane(material=S.Material(specular=0.0, reflective=0.3)),
+        S.Sphere(transform=tf.translation(-0.5, 1.0, 0.5),
+                 material=S.Material(color=(0.1, 0.4, 0.9), diffuse=0.7,
+                                     reflective=0.1)),
+        S.Sphere(transform=tf.translation(1.5, 0.5, -0.5) @ tf.scaling(0.5, 0.5, 0.5),
+                 material=S.Material(color=(0.9, 0.2, 0.2))),
+    ])
+
+
+def timed(fn, iters=3):
+    fn()  # warm-up / compile
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def main():
+    out_path = "SCALING_r02.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+
+    devices = jax.devices()
+    mode = "tpu" if jax.default_backend() == "tpu" else "cpu_virtual_smoke"
+    scene = flagship_scene()
+    cam = Camera(256, 256, math.pi / 3).with_transform(
+        tf.view_transform((0, 1.5, -5), (0, 1, 0), (0, 1, 0)))
+    o_full, d_full = ray_grid(cam)
+    o_full = np.asarray(o_full)
+    d_full = np.asarray(d_full)
+
+    rows_fwd, rows_train = [], []
+    sizes = [n for n in (1, 2, 4, 8) if n <= len(devices)]
+    for n_dev in sizes:
+        mesh = make_mesh(devices[:n_dev])
+        n_rays = PER_DEVICE_RAYS * n_dev  # weak scaling: work ∝ devices
+        o = jnp.asarray(o_full[:n_rays])
+        d = jnp.asarray(d_full[:n_rays])
+        so, sd, _ = shard_rays(o, d, mesh)
+        scene_r = replicate_scene(scene, mesh)
+        ray_sh = NamedSharding(mesh, P(mesh.axis_names))
+        limit = scene.static.recursion_limit
+
+        @jax.jit
+        def fwd(sc, o, d):
+            o = jax.lax.with_sharding_constraint(o, ray_sh)
+            d = jax.lax.with_sharding_constraint(d, ray_sh)
+            return jax.lax.with_sharding_constraint(
+                color_at(sc, o, d, None, limit), ray_sh)
+
+        dt = timed(lambda: np.asarray(fwd(scene_r, so, sd)))
+        rows_fwd.append(dict(devices=n_dev, rays=n_rays,
+                             seconds=round(dt, 4),
+                             rays_per_sec=round(n_rays / dt, 1)))
+
+        target = jnp.zeros((so.shape[0], 3))
+        step = make_sharded_train_step(mesh, lr=1e-2)
+        key = jax.random.PRNGKey(0)
+
+        def one_step():
+            loss, _ = step(scene_r, so, sd, target, key)
+            return float(loss)
+
+        dt = timed(one_step)
+        rows_train.append(dict(devices=n_dev, rays=n_rays,
+                               seconds=round(dt, 4),
+                               rays_per_sec=round(n_rays / dt, 1)))
+
+    def efficiency(rows):
+        if len(rows) < 2:
+            return None
+        base = rows[0]["rays_per_sec"]  # per-device throughput at n=1
+        last = rows[-1]
+        return round(last["rays_per_sec"] / (base * last["devices"]), 3)
+
+    artifact = dict(
+        mode=mode,
+        backend=jax.default_backend(),
+        n_devices=len(devices),
+        per_device_rays=PER_DEVICE_RAYS,
+        weak_scaling_forward=rows_fwd,
+        weak_scaling_train_step=rows_train,
+        efficiency_forward=efficiency(rows_fwd),
+        efficiency_train=efficiency(rows_train),
+        note=(
+            "cpu_virtual_smoke: the 8 virtual devices share the same host "
+            "cores, so efficiency measures the sharding machinery's "
+            "overhead, not hardware scaling; run on a pod slice for the "
+            "real curve (target >= 0.8 per BASELINE.md)."
+            if mode != "tpu" else "real TPU devices over ICI"
+        ),
+    )
+    Path(out_path).write_text(json.dumps(artifact, indent=2) + "\n")
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()

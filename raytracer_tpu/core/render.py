@@ -116,6 +116,24 @@ def scene_mat_col(mat_rows, col):
     return mat_rows[:, col : col + 1]
 
 
+# Parked-ray sentinel: a ray at x=y=3e8 pointing +z has an empty slab
+# interval against every scene AABB (x/y slabs collapse to -3e20 while the
+# z slab sits near -3e8, so tmin > tmax), which kills the mesh chunk culls,
+# the Pallas supergroup/root gates and the behind-scan cull alike. Zero-
+# weight and missed rays are parked so the mesh kernels skip them entirely.
+PARK_ORIGIN = (3e8, 3e8, 3e8)
+PARK_DIR = (0.0, 0.0, 1.0)
+
+
+def park_rays(o, d, active):
+    po = jnp.asarray(PARK_ORIGIN, o.dtype)
+    pd = jnp.asarray(PARK_DIR, d.dtype)
+    return (
+        jnp.where(active[:, None], o, po),
+        jnp.where(active[:, None], d, pd),
+    )
+
+
 def shade_level(scene: T.Scene, o, d, weight, key):
     """Trace + shade one wavefront level.
 
@@ -140,6 +158,9 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     normalv = jnp.where(flip[:, None], -normalv, normalv)
     over = point + EPSILON * normalv
     under = point - EPSILON * normalv
+    # missed rays trace no shadows: park their shading point so the mesh
+    # culls reject it (their surface term is masked to 0 below anyway)
+    over_sh, _ = park_rays(over, d, has)
 
     mat_rows = I.table_gather(scene.mat, gid)
     pat = pattern_color(scene, gid, over)
@@ -151,7 +172,7 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     for li in range(n_point):
         lpos = scene.plight_pos[li]
         lint = scene.plight_intensity[li]
-        inten = jnp.where(shadowed(scene, over, lpos[None]), 0.0, 1.0)
+        inten = jnp.where(shadowed(scene, over_sh, lpos[None]), 0.0, 1.0)
         eff = base_color * lint[None]
         ambient = eff * scene_mat_col(mat_rows, T.MAT_AMBIENT)
         ds = SH.phong(mat_rows, base_color, lint[None], lpos[None], over, eyev, normalv)
@@ -160,7 +181,7 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     for ai in range(len(st.area_steps)):
         lkey = jax.random.fold_in(key, 7919 + ai) if key is not None else None
         surface = surface + _area_light_contrib(
-            scene, ai, over, eyev, normalv, base_color, mat_rows, lkey
+            scene, ai, over_sh, eyev, normalv, base_color, mat_rows, lkey
         )
 
     surface = jnp.where(has[:, None], surface, 0.0)
@@ -233,6 +254,10 @@ def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
         o = jnp.concatenate([s[0] for s in spawns], 0)
         d = jnp.concatenate([s[1] for s in spawns], 0)
         w = jnp.concatenate([s[2] for s in spawns], 0)
+        # park zero-weight spawns: deep levels are mostly dead weight
+        # (only reflective/transparent hit points spawn), and parked rays
+        # cost the mesh path nothing
+        o, d = park_rays(o, d, jnp.any(w > 0.0, -1))
     return img
 
 

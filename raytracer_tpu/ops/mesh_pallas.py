@@ -95,7 +95,7 @@ def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
     v_ref[:, 0] = jnp.where(better, v_hit, v_ref[:, 0])
 
 
-def _kernel(o_ref, id_ref, d_ref, bbc_ref, bbs_ref, tri_hbm,
+def _kernel(o_ref, id_ref, d_ref, bbc_ref, bbs_ref, bbr_ref, tri_hbm,
             t_ref, g_ref, u_ref, v_ref):
     n_chunks = bbc_ref.shape[1]
     n_super = bbs_ref.shape[1]
@@ -130,8 +130,6 @@ def _kernel(o_ref, id_ref, d_ref, bbc_ref, bbs_ref, tri_hbm,
                 tri_hbm.at[s], scratch.at[slot], sems.at[slot]
             )
 
-        get_dma(0, 0).start()
-
         def outer(s, _):
             slot = s % 2
             nxt = (s + 1) % 2
@@ -161,7 +159,13 @@ def _kernel(o_ref, id_ref, d_ref, bbc_ref, bbs_ref, tri_hbm,
 
             return 0
 
-        jax.lax.fori_loop(0, n_super, outer, 0)
+        # Root gate: when no ray of this subtile can enter the whole-mesh
+        # AABB (all parked/pointing away), skip every DMA and all compute
+        # — this is what makes parked zero-weight wavefront levels free.
+        @pl.when(live_any(bbr_ref, 0))
+        def _():
+            get_dma(0, 0).start()
+            jax.lax.fori_loop(0, n_super, outer, 0)
 
     pl.run_scoped(
         body,
@@ -180,6 +184,10 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, interpret=False):
     Returns (t [R], tri_idx [R], u [R], v [R]).
     """
     bb_chunk, bb_super = bb
+    bb_root = jnp.concatenate(
+        [bb_super[:3].min(axis=1, keepdims=True),
+         bb_super[3:].max(axis=1, keepdims=True)]
+    )                                                        # [6, 1]
     r = origins.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-12, 1e-12, directions)
 
@@ -203,12 +211,13 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, interpret=False):
             ray_spec,                                        # directions
             pl.BlockSpec(memory_space=pltpu.SMEM),           # chunk AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),           # super AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # root AABB
             pl.BlockSpec(memory_space=pl.ANY),               # tri planes HBM
         ],
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(origins, inv_d, directions, bb_chunk, bb_super, tri_planes)
+    )(origins, inv_d, directions, bb_chunk, bb_super, bb_root, tri_planes)
     return t[:, 0], g[:, 0], u[:, 0], v[:, 0]
 
 

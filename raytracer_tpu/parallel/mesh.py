@@ -24,6 +24,34 @@ from raytracer_tpu.core import types as T
 from raytracer_tpu.core.render import color_at
 
 RAY_AXIS = "rays"
+HOST_AXIS = "hosts"
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, local_device_ids=None):
+    """Initialize the multi-host JAX runtime (SURVEY §7.8: host x chip).
+
+    Call once per process before any device work. With no arguments the
+    coordinator env vars (JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS)
+    are auto-detected; on a single process with no coordinator env this is
+    a safe no-op. Returns (process_index, process_count).
+    """
+    already = getattr(jax._src.distributed.global_state, "client", None)
+    if already is None:
+        import os
+
+        has_env = any(
+            os.environ.get(k)
+            for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+        )
+        if coordinator_address is not None or has_env:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                local_device_ids=local_device_ids,
+            )
+    return jax.process_index(), jax.process_count()
 
 
 def make_mesh(devices=None, axis: str = RAY_AXIS) -> Mesh:
@@ -31,6 +59,20 @@ def make_mesh(devices=None, axis: str = RAY_AXIS) -> Mesh:
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_host_mesh(axis_host: str = HOST_AXIS, axis_chip: str = RAY_AXIS) -> Mesh:
+    """2-D (hosts, chips-per-host) mesh over ALL global devices.
+
+    Rays shard over both axes (pure DP needs no cross-host collectives in
+    the forward pass); training grad psums reduce over chips first (ICI)
+    then hosts (DCN) — exactly the scaling-book DP layout. jax.devices()
+    orders devices process-major, so rows of the mesh are hosts and the
+    chip axis rides ICI.
+    """
+    devs = np.asarray(jax.devices())
+    n_proc = jax.process_count()
+    return Mesh(devs.reshape(n_proc, -1), (axis_host, axis_chip))
 
 
 def replicate_scene(scene: T.Scene, mesh: Mesh) -> T.Scene:
@@ -55,13 +97,21 @@ def shard_rays(origins, directions, mesh: Mesh, axis: str = RAY_AXIS):
 
 
 def render_sharded(scene: T.Scene, camera, mesh: Mesh | None = None, *,
-                   key=None, tile_rays=None):
+                   key=None, tile_rays=None, multihost=None):
     """Full-frame render with the ray axis sharded over ``mesh``.
 
     Tiles like the single-chip renderer (the depth-4 spawn tree of a
     whole frame does not fit HBM), with each tile's rays split across
-    the mesh; tiles keep the screen-block ordering so every device gets
-    a spatially coherent sub-block. Returns a float32 numpy image.
+    every mesh axis (works for the 1-D chip mesh and the 2-D
+    :func:`make_host_mesh` host x chip mesh alike); tiles keep the
+    screen-block ordering so every device gets a spatially coherent
+    sub-block. Returns a float32 numpy image.
+
+    ``multihost`` (auto-detected): on a multi-process runtime each host
+    materializes only its addressable shard of every tile
+    (jax.make_array_from_callback — the ray grid is computed identically
+    on every host, so no cross-host transfer happens), and the final
+    image is assembled with a process allgather over DCN.
     """
     from raytracer_tpu.camera import ray_grid
     from raytracer_tpu.core.render import _block_order
@@ -70,6 +120,8 @@ def render_sharded(scene: T.Scene, camera, mesh: Mesh | None = None, *,
         mesh = make_mesh()
     if key is None:
         key = jax.random.PRNGKey(0)
+    if multihost is None:
+        multihost = jax.process_count() > 1
     n_dev = mesh.devices.size
     if tile_rays is None:
         n_free_tris = scene.static.counts[5] - scene.static.n_csg_tris
@@ -82,19 +134,25 @@ def render_sharded(scene: T.Scene, camera, mesh: Mesh | None = None, *,
     order = _block_order(
         camera.vsize, camera.hsize, max(int((tile // n_dev) ** 0.5), 1)
     )
-    order_j = jnp.asarray(order)
-    origins = origins[order_j]
-    directions = directions[order_j]
+    origins = np.asarray(origins)[order]
+    directions = np.asarray(directions)[order]
     n_pad = -n % tile
     if n_pad:
-        origins = jnp.pad(origins, ((0, n_pad), (0, 0)))
-        directions = jnp.pad(
+        origins = np.pad(origins, ((0, n_pad), (0, 0)))
+        directions = np.pad(
             directions, ((0, n_pad), (0, 0)), constant_values=1.0
         )
 
     scene = replicate_scene(scene, mesh)
-    ray_sh = NamedSharding(mesh, P(RAY_AXIS))
+    ray_sh = NamedSharding(mesh, P(mesh.axis_names))
     limit = scene.static.recursion_limit
+
+    def to_device(x):
+        if multihost:
+            return jax.make_array_from_callback(
+                x.shape, ray_sh, lambda idx: x[idx]
+            )
+        return jax.device_put(jnp.asarray(x), ray_sh)
 
     @jax.jit
     def run(scene, o, d, key):
@@ -106,9 +164,18 @@ def render_sharded(scene: T.Scene, camera, mesh: Mesh | None = None, *,
     parts = []
     for i in range(0, n + n_pad, tile):
         tkey = jax.random.fold_in(key, i)
-        parts.append(run(scene, origins[i : i + tile],
-                         directions[i : i + tile], tkey))
-    img = np.asarray(jnp.concatenate(parts, 0)[:n], np.float32)
+        parts.append(run(scene, to_device(origins[i : i + tile]),
+                         to_device(directions[i : i + tile]), tkey))
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        gathered = [
+            np.asarray(multihost_utils.process_allgather(p, tiled=True))
+            for p in parts
+        ]
+        img = np.concatenate(gathered, 0)[:n].astype(np.float32)
+    else:
+        img = np.asarray(jnp.concatenate(parts, 0)[:n], np.float32)
     out = np.empty_like(img)
     out[order] = img
     return out.reshape(camera.vsize, camera.hsize, 3)

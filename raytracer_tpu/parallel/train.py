@@ -124,8 +124,10 @@ def make_sharded_train_step(mesh: Mesh, *, lr=1e-2):
     The returned fn has signature ``(scene, origins, directions, target,
     key) -> (loss, scene')``. Gradients of the replicated scene parameters
     against the sharded ray batch become one all-reduce, inserted by XLA.
+    On a 2-D host x chip mesh (make_host_mesh) rays shard over both axes
+    and the grad reduction happens chip-first (ICI) then host (DCN).
     """
-    ray_sh = NamedSharding(mesh, P("rays"))
+    ray_sh = NamedSharding(mesh, P(mesh.axis_names))
     rep = NamedSharding(mesh, P())
 
     @jax.jit

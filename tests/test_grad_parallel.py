@@ -147,6 +147,25 @@ def test_sharded_train_step():
     assert not np.allclose(np.asarray(scene2.mat), np.asarray(scene_r.mat))
 
 
+def test_host_mesh_and_multihost_render_path():
+    """make_host_mesh shapes (processes, chips); the multihost render path
+    (per-host shard materialization + process allgather) must match the
+    single-device render even on one process."""
+    from raytracer_tpu.parallel.mesh import (
+        make_host_mesh, render_sharded, init_distributed,
+    )
+
+    pid, pcount = init_distributed()  # no cluster env: safe no-op
+    assert pid == 0 and pcount == 1
+
+    scene, cam, o, d = small_setup()
+    mesh = make_host_mesh()
+    assert mesh.devices.shape[0] == 1  # one process
+    img_single = np.asarray(color_at(scene, o, d)).reshape(cam.vsize, cam.hsize, 3)
+    img_mh = render_sharded(scene, cam, mesh, multihost=True)
+    assert np.allclose(img_single, img_mh, atol=1e-5)
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, "/root/repo")
