@@ -51,6 +51,9 @@ def rays_per_pixel(scene):
     n_point = int(scene.plight_pos.shape[0])
     shadow_per_ray = n_point + sum(us * vs for us, vs in st.area_steps)
     n_spawn = int(st.has_reflective) + int(st.has_transparency)
+    if not getattr(st, "has_blend", True):
+        # merged spawn streams: level width stays constant (render.color_at)
+        n_spawn = min(n_spawn, 1)
     total = 0
     streams = 1
     for level in range(st.recursion_limit + 1):

@@ -38,11 +38,8 @@ def shadowed(scene: T.Scene, points, light_pos):
     """world.rs:101-111: nearest positive hit closer than the light and
     casting shadows (the reference checks only the NEAREST hit's shadow
     flag — a shadow:false object in front un-shadows)."""
-    v = light_pos - points
-    dist = jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-12)
-    direction = v / dist[:, None]
-    has, t, g, _, _ = I.nearest_hit(scene, points, direction)
-    return has & (t < dist) & I.table_gather(scene.shadow, g)
+    pos = jnp.broadcast_to(light_pos, points.shape)[:, None]  # [R,1,3]
+    return I.shadow_blocked(scene, points, pos)[:, 0]
 
 
 def _det_jitter_tables(static: T.SceneStatic, s_total):
@@ -61,8 +58,16 @@ def _det_jitter_tables(static: T.SceneStatic, s_total):
     return ju1, jv1, ju2, jv2
 
 
-def _area_light_contrib(scene, ai, over, eyev, normalv, base_color, mat_rows, key):
-    """Shadow fraction + sampled Phong for area light ``ai``."""
+def _area_light_contrib(scene, ai, over, eyev, normalv, base_color, mat_rows,
+                        key, live=None):
+    """Shadow fraction + sampled Phong for area light ``ai``.
+
+    Everything stays in [R, S] form: the shadow trace goes through
+    intersect.shadow_blocked (receiver transform factored out of the
+    sample axis, no gid/u/v tables) and the Phong sum broadcasts
+    [R, 1, ...] material rows against [R, S, 3] sample positions — XLA
+    fuses the broadcasts instead of materializing [R*S, ...] copies.
+    """
     st = scene.static
     us, vs = st.area_steps[ai]
     s_total = us * vs
@@ -83,7 +88,7 @@ def _area_light_contrib(scene, ai, over, eyev, normalv, base_color, mat_rows, ke
         jj = jax.random.uniform(key, (r, s_total, 4))        # per-ray per-sample
         ju1, jv1, ju2, jv2 = jj[..., 0], jj[..., 1], jj[..., 2], jj[..., 3]
 
-    # all u*v samples in ONE flattened [R*S] trace + Phong batch (a scan
+    # all u*v samples in ONE wide [R, S] trace + Phong batch (a scan
     # over samples serializes 100 tiny kernels; this is one wide one)
     def positions(ju, jv):
         return (
@@ -92,19 +97,13 @@ def _area_light_contrib(scene, ai, over, eyev, normalv, base_color, mat_rows, ke
             + (vv[None, :] + jv)[..., None] * vvec
         )                                                    # [R|1, S, 3]
 
-    pos = jnp.broadcast_to(positions(ju1, jv1), (r, s_total, 3))
-    over_w = jnp.broadcast_to(over[:, None], (r, s_total, 3)).reshape(-1, 3)
-    sh = shadowed(scene, over_w, pos.reshape(-1, 3))
-    int_sum = jnp.sum(1.0 - sh.reshape(r, s_total).astype(jnp.float32), -1)
+    sh = I.shadow_blocked(scene, over, positions(ju1, jv1), live=live)
+    int_sum = jnp.sum(1.0 - sh.astype(jnp.float32), -1)      # [R]
 
-    pos2 = jnp.broadcast_to(positions(ju2, jv2), (r, s_total, 3)).reshape(-1, 3)
-    rep = lambda x: jnp.broadcast_to(
-        x[:, None], (r, s_total) + x.shape[1:]
-    ).reshape((r * s_total,) + x.shape[1:])
     ds = SH.phong(
-        rep(mat_rows), rep(base_color), intensity[None], pos2,
-        over_w, rep(eyev), rep(normalv),
-    ).reshape(r, s_total, 3).sum(1)
+        mat_rows[:, None], base_color[:, None], intensity[None, None],
+        positions(ju2, jv2), over[:, None], eyev[:, None], normalv[:, None],
+    ).sum(1)                                                 # [R, 3]
 
     eff = base_color * intensity[None]
     ambient = eff * scene_mat_col(mat_rows, T.MAT_AMBIENT)
@@ -172,7 +171,11 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     for li in range(n_point):
         lpos = scene.plight_pos[li]
         lint = scene.plight_intensity[li]
-        inten = jnp.where(shadowed(scene, over_sh, lpos[None]), 0.0, 1.0)
+        blocked = I.shadow_blocked(
+            scene, over_sh,
+            jnp.broadcast_to(lpos, (over_sh.shape[0], 1, 3)), live=has,
+        )[:, 0]
+        inten = jnp.where(blocked, 0.0, 1.0)
         eff = base_color * lint[None]
         ambient = eff * scene_mat_col(mat_rows, T.MAT_AMBIENT)
         ds = SH.phong(mat_rows, base_color, lint[None], lpos[None], over, eyev, normalv)
@@ -181,7 +184,8 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     for ai in range(len(st.area_steps)):
         lkey = jax.random.fold_in(key, 7919 + ai) if key is not None else None
         surface = surface + _area_light_contrib(
-            scene, ai, over_sh, eyev, normalv, base_color, mat_rows, lkey
+            scene, ai, over_sh, eyev, normalv, base_color, mat_rows, lkey,
+            live=has,
         )
 
     surface = jnp.where(has[:, None], surface, 0.0)
@@ -251,9 +255,21 @@ def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
             spawns.append(refr)
         if not spawns:
             break
-        o = jnp.concatenate([s[0] for s in spawns], 0)
-        d = jnp.concatenate([s[1] for s in spawns], 0)
-        w = jnp.concatenate([s[2] for s in spawns], 0)
+        if len(spawns) == 2 and not st.has_blend:
+            # No material is both reflective and transparent, so the two
+            # spawn weights are disjoint per ray (reflection XOR
+            # refraction) — select instead of concatenate and the level
+            # width stays R for every depth instead of doubling. Exact:
+            # the dropped stream's weight is identically zero.
+            (ro, rd, rw), (fo, fd, fw) = spawns
+            take_r = jnp.any(rw > 0.0, -1, keepdims=True)
+            o = jnp.where(take_r, ro, fo)
+            d = jnp.where(take_r, rd, fd)
+            w = rw + fw
+        else:
+            o = jnp.concatenate([s[0] for s in spawns], 0)
+            d = jnp.concatenate([s[1] for s in spawns], 0)
+            w = jnp.concatenate([s[2] for s in spawns], 0)
         # park zero-weight spawns: deep levels are mostly dead weight
         # (only reflective/transparent hit points spawn), and parked rays
         # cost the mesh path nothing

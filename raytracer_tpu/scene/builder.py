@@ -406,6 +406,10 @@ class _Builder:
 
         has_reflective = bool((mat[:g, T.MAT_REFLECTIVE] != 0).any()) if g else False
         has_transparency = bool((mat[:g, T.MAT_TRANSPARENCY] != 0).any()) if g else False
+        has_blend = bool(
+            ((mat[:g, T.MAT_REFLECTIVE] != 0)
+             & (mat[:g, T.MAT_TRANSPARENCY] != 0)).any()
+        ) if g else False
         # free (non-CSG) triangles with a transparent material need the
         # nearest-behind candidate column (intersect.candidate_hits)
         mesh_transparent = bool(
@@ -427,6 +431,7 @@ class _Builder:
             n_csg_tris=n_csg_tris,
             has_reflective=has_reflective,
             has_transparency=has_transparency,
+            has_blend=has_blend,
             mesh_transparent=mesh_transparent,
             jitter=tuple(jitter) if jitter is not None else None,
             top_k=top_k,

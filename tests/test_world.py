@@ -176,3 +176,36 @@ def test_group_normal_composition():
     p = jnp.asarray([(1.7321, 1.1547, -5.5774)], jnp.float32)
     n = SH.normal_at(sc, jnp.asarray([0]), p, jnp.zeros(1), jnp.zeros(1))
     assert np.allclose(np.asarray(n[0]), [0.2857, 0.4286, -0.8571], atol=1e-3)
+
+
+def test_merged_spawn_matches_concatenated_tree():
+    """A scene with reflective AND transparent materials on DIFFERENT
+    objects takes the constant-width merged-spawn path (has_blend=False);
+    forcing has_blend=True replays the same rays through the doubling
+    concatenated tree. Both must agree exactly at every depth."""
+    import dataclasses
+
+    items = default_items() + [
+        S.Plane(transform=tf.translation(0.0, -1.0, 0.0),
+                material=S.Material(reflective=0.5)),
+        S.Sphere(transform=tf.translation(0.0, 0.0, -2.0),
+                 material=S.Material(transparency=0.9, refractive_index=1.5,
+                                     color=(0.1, 0.1, 0.1), diffuse=0.1)),
+    ]
+    sc = build_scene(items)
+    assert not sc.static.has_blend
+    sc_tree = dataclasses.replace(
+        sc, static=dataclasses.replace(sc.static, has_blend=True)
+    )
+
+    n = 33
+    ang = np.linspace(0.0, 2 * np.pi, n, dtype=np.float32)
+    o = jnp.asarray(np.stack([np.sin(ang), 0.3 * np.cos(ang),
+                              np.full(n, -4.0, np.float32)], -1))
+    d = jnp.asarray(np.stack([0.2 * np.sin(3 * ang), -0.2 * np.cos(2 * ang),
+                              np.ones(n, np.float32)], -1))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    for limit in (1, 2, 4):
+        merged = np.asarray(color_at(sc, o, d, limit=limit))
+        tree = np.asarray(color_at(sc_tree, o, d, limit=limit))
+        np.testing.assert_allclose(merged, tree, rtol=1e-5, atol=1e-6)
