@@ -163,12 +163,31 @@ def refraction_indices_fast(scene: T.Scene, ts, gids, hit_slot):
     """
     from raytracer_tpu.core.intersect import candidate_meta, table_gather
 
-    obj_np, siblings, _ = candidate_meta(scene.static)
+    obj_np, siblings, c_static = candidate_meta(scene.static)
     c = ts.shape[-1]
     assert len(obj_np) == c, (len(obj_np), c)
     idx = jnp.arange(c)
     valid = jnp.isfinite(ts)
-    refr = table_gather(scene.mat[:, T.MAT_REFRACTIVE], gids)  # [R, C]
+    # Column -> refractive index. All static-region columns have
+    # compile-time object ids, so their indices come from ONE [C_static]
+    # gather broadcast over rays; only the free-mesh columns (dynamic
+    # per-triangle gid) need an [R]-sized gather — the mat table has a
+    # row per PRIMITIVE (1M+ rows for big meshes), and a dense [R, C]
+    # row gather from it measured ~25% of a dragons frame.
+    mat_refr = scene.mat[:, T.MAT_REFRACTIVE]
+    n_dyn = c - min(c_static, c)
+    refr_static = jnp.broadcast_to(
+        mat_refr[jnp.asarray(obj_np[: c - n_dyn])][None, :],
+        (ts.shape[0], c - n_dyn),
+    )
+    if n_dyn:
+        refr = jnp.concatenate(
+            [refr_static]
+            + [mat_refr[gids[:, j]][:, None] for j in range(c - n_dyn, c)],
+            -1,
+        )
+    else:
+        refr = refr_static
 
     from raytracer_tpu.core.intersect import select_col
 
