@@ -161,7 +161,10 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     # culls reject it (their surface term is masked to 0 below anyway)
     over_sh, _ = park_rays(over, d, has)
 
-    mat_rows = I.table_gather(scene.mat, gid)
+    # gid -> material row via the i32 indirection: a 4-byte-per-ray gather
+    # plus a one-hot expand from the tiny unique-material table, instead of
+    # a 40-byte-per-ray row gather out of a per-primitive table.
+    mat_rows = I.table_gather(scene.mat, scene.mat_id[gid])
     pat = pattern_color(scene, gid, over)
     has_pat = I.table_gather(scene.pattern_id, gid) >= 0
     base_color = jnp.where(has_pat[:, None], pat, mat_rows[:, T.MAT_COLOR])

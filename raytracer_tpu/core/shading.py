@@ -174,16 +174,17 @@ def refraction_indices_fast(scene: T.Scene, ts, gids, hit_slot):
     # per-triangle gid) need an [R]-sized gather — the mat table has a
     # row per PRIMITIVE (1M+ rows for big meshes), and a dense [R, C]
     # row gather from it measured ~25% of a dragons frame.
-    mat_refr = scene.mat[:, T.MAT_REFRACTIVE]
+    mat_refr = scene.mat[:, T.MAT_REFRACTIVE]              # [M] unique rows
     n_dyn = c - min(c_static, c)
     refr_static = jnp.broadcast_to(
-        mat_refr[jnp.asarray(obj_np[: c - n_dyn])][None, :],
+        mat_refr[scene.mat_id[jnp.asarray(obj_np[: c - n_dyn])]][None, :],
         (ts.shape[0], c - n_dyn),
     )
     if n_dyn:
         refr = jnp.concatenate(
             [refr_static]
-            + [mat_refr[gids[:, j]][:, None] for j in range(c - n_dyn, c)],
+            + [table_gather(mat_refr, scene.mat_id[gids[:, j]])[:, None]
+               for j in range(c - n_dyn, c)],
             -1,
         )
     else:
@@ -251,7 +252,7 @@ def refraction_indices(scene: T.Scene, ts, gids, hit_slot):
     c = ts.shape[-1]
     idx = jnp.arange(c)
     valid = jnp.isfinite(ts)
-    refr = scene.mat[gids, T.MAT_REFRACTIVE]               # [R, C]
+    refr = scene.mat[scene.mat_id[gids], T.MAT_REFRACTIVE]  # [R, C]
 
     t_h = jnp.take_along_axis(ts, hit_slot[:, None], -1)   # [R, 1]
     # strictly-before-hit by (t, slot) lexicographic order

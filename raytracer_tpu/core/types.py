@@ -125,7 +125,13 @@ class Scene:
     ``static`` is aux metadata."""
 
     # --- per-gid tables -------------------------------------------------
-    mat: Any            # f32 [G, MAT_NCOLS]
+    # Materials are deduplicated: ``mat`` holds the M unique rows and
+    # ``mat_id`` maps gid -> row. Big meshes share one material across all
+    # triangles, so gathering a per-ray i32 id then expanding from the tiny
+    # unique table replaces a [R, MAT_NCOLS] gather out of a million-row
+    # table (measured ~19% of a mesh-heavy frame on TPU).
+    mat: Any            # f32 [M, MAT_NCOLS] unique material rows
+    mat_id: Any         # i32 [G] material row per primitive
     pattern_id: Any     # i32 [G]   (-1 = none)
     shadow: Any         # bool [G]  casts shadows (world.rs:107 opt-out)
     inv_tf: Any         # f32 [G, 4, 4] world -> object (identity for tris)

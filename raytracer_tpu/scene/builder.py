@@ -447,8 +447,14 @@ class _Builder:
         def dev(x):
             return jnp.asarray(x)
 
+        # Deduplicate material rows (meshes broadcast one material over all
+        # their triangles): unique [M, NCOLS] table + per-gid i32 id.
+        mat_table, mat_id = np.unique(mat, axis=0, return_inverse=True)
+        mat_id = np.ascontiguousarray(mat_id.reshape(-1).astype(np.int32))
+
         return jax.tree.map(dev, T.Scene(
-            mat=mat, pattern_id=pattern_id, shadow=shadow, inv_tf=inv_tf,
+            mat=mat_table, mat_id=mat_id,
+            pattern_id=pattern_id, shadow=shadow, inv_tf=inv_tf,
             normal_mat=normal_mat,
             cyl_min=cyl_min, cyl_max=cyl_max, cyl_closed=cyl_closed,
             cone_min=cone_min, cone_max=cone_max, cone_closed=cone_closed,
