@@ -72,6 +72,21 @@ def table_gather(table, idx, limit: int = 32):
     return jnp.sum(jnp.where(m, t, 0), axis=idx.ndim)
 
 
+def transform_row(scene: T.Scene, gid):
+    """Row of ``scene.inv_tf``/``scene.normal_mat`` for each gid.
+
+    Non-triangle gids map to themselves; triangle gids map through
+    ``tri_tf_id`` to their SOURCE row (types.Scene.inv_tf layout) — the
+    tables hold one row per triangle source, not per triangle.
+    """
+    st = scene.static
+    g_nt = sum(st.counts[:5])
+    if st.counts[5] == 0:
+        return gid
+    tri = jnp.clip(gid - g_nt, 0, scene.tri_tf_id.shape[0] - 1)
+    return jnp.where(gid >= g_nt, g_nt + scene.tri_tf_id[tri], gid)
+
+
 def _local_rays(inv_tf, origins, directions):
     """Transform ray batch into each primitive's object space.
 
@@ -246,6 +261,23 @@ def _tri_moller_trumbore(o, d, p1, e1, e2):
     return jnp.where(ok, t, INF), u, v
 
 
+def _free_chunk_bbs(scene: T.Scene, start, p1, e1, e2):
+    """Chunk AABBs (bb_min, bb_max) [nc, 3] for free-triangle chunking.
+
+    Reuses the build-time tables (padding-masked, so the trailing partial
+    chunk is tighter) when they cover the requested range; otherwise
+    reduces over the chunked vertices in-trace.
+    """
+    nc = p1.shape[0]
+    bb = scene.mesh_bb_chunk
+    if bb is not None and start == scene.static.n_csg_tris and bb.shape[1] >= nc:
+        return bb[:3, :nc].T, bb[3:, :nc].T
+    v0, v1_, v2_ = p1, p1 + e1, p1 + e2
+    bb_min = jnp.minimum(jnp.minimum(v0, v1_), v2_).min(axis=1)
+    bb_max = jnp.maximum(jnp.maximum(v0, v1_), v2_).max(axis=1)
+    return bb_min, bb_max
+
+
 def _tri_behind_scan(scene: T.Scene, origins, directions, start, count):
     """The free-triangle entry with the LARGEST t <= 0 (nearest behind the
     ray origin), chunked scan with line-AABB culling.
@@ -267,9 +299,7 @@ def _tri_behind_scan(scene: T.Scene, origins, directions, start, count):
     p1 = pad(scene.tri_p1).reshape(-1, TRI_CHUNK, 3)
     e1 = pad(scene.tri_e1).reshape(-1, TRI_CHUNK, 3)
     e2 = pad(scene.tri_e2).reshape(-1, TRI_CHUNK, 3)
-    v0, v1_, v2_ = p1, p1 + e1, p1 + e2
-    bb_min = jnp.minimum(jnp.minimum(v0, v1_), v2_).min(axis=1)
-    bb_max = jnp.maximum(jnp.maximum(v0, v1_), v2_).max(axis=1)
+    bb_min, bb_max = _free_chunk_bbs(scene, start, p1, e1, e2)
     n_chunks = p1.shape[0]
 
     inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-12, 1e-12, directions)
@@ -446,10 +476,16 @@ def _tri_free_nearest(scene: T.Scene, origins, directions, start, count):
 def _tri_free_nearest_pallas(scene, origins, directions, start, count):
     from raytracer_tpu.ops import mesh_pallas as MP
 
-    sl = slice(start, start + count)
-    tri, bb = MP.pack_tri_planes(
-        scene.tri_p1[sl], scene.tri_e1[sl], scene.tri_e2[sl]
-    )
+    if scene.mesh_planes is not None and start == scene.static.n_csg_tris:
+        # precomputed at scene build (builder.finish) — HBM-resident,
+        # shared by every dispatch
+        tri = scene.mesh_planes
+        bb = (scene.mesh_bb_chunk, scene.mesh_bb_super)
+    else:
+        sl = slice(start, start + count)
+        tri, bb = MP.pack_tri_planes(
+            scene.tri_p1[sl], scene.tri_e1[sl], scene.tri_e2[sl]
+        )
     r = origins.shape[0]
     pad = -r % MP.RT
     if pad:
@@ -488,11 +524,7 @@ def _tri_free_nearest_scan(scene: T.Scene, origins, directions, start, count):
     p1 = pad(scene.tri_p1).reshape(-1, TRI_CHUNK, 3)
     e1 = pad(scene.tri_e1).reshape(-1, TRI_CHUNK, 3)
     e2 = pad(scene.tri_e2).reshape(-1, TRI_CHUNK, 3)
-    # chunk AABBs from the three vertices (padding rows are degenerate
-    # at p1=0 — make them empty by masking below via count)
-    v0, v1_, v2_ = p1, p1 + e1, p1 + e2
-    bb_min = jnp.minimum(jnp.minimum(v0, v1_), v2_).min(axis=1)  # [Ch,3]
-    bb_max = jnp.maximum(jnp.maximum(v0, v1_), v2_).max(axis=1)
+    bb_min, bb_max = _free_chunk_bbs(scene, start, p1, e1, e2)  # [Ch,3]
     n_chunks = p1.shape[0]
 
     inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-12, 1e-12, directions)

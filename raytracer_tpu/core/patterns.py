@@ -33,7 +33,9 @@ def pattern_color(scene: T.Scene, gid, world_point):
     """
     pid = jnp.maximum(table_gather(scene.pattern_id, gid), 0)
 
-    inv = table_gather(scene.inv_tf, gid)                     # [R,4,4]
+    from raytracer_tpu.core.intersect import transform_row
+
+    inv = table_gather(scene.inv_tf, transform_row(scene, gid))  # [R,4,4]
     obj_p = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point, precision="highest") + inv[:, :3, 3]
     pinv = table_gather(scene.pat_inv, pid)
     p = jnp.einsum("rij,rj->ri", pinv[:, :3, :3], obj_p, precision="highest") + pinv[:, :3, 3]

@@ -285,6 +285,27 @@ def _color_at_jit(scene, origins, directions, key, limit):
     return color_at(scene, origins, directions, key, limit)
 
 
+@functools.partial(jax.jit, static_argnames=("limit",))
+def _render_tiles_jit(scene, o_tiles, d_tiles, keys, limit):
+    """All tiles of a frame in ONE dispatch: lax.scan over the tile axis.
+
+    Per-dispatch overhead is per ARGUMENT BUFFER on remote-TPU transports
+    (~0.7 ms x ~45 scene leaves ~= 32 ms measured), so dispatching tiles
+    one by one made a 71-tile dragons frame pay ~2.3 s of pure dispatch
+    overhead for ~0.4 s of compute. The scan keeps each tile's
+    chunk-culling lax.conds intact (scan bodies are traced once, executed
+    per-iteration — not vmapped), streams every tile on-device, and pays
+    the argument overhead once per frame.
+    """
+
+    def body(carry, xs):
+        o, d, k = xs
+        return carry, color_at(scene, o, d, k, limit)
+
+    _, out = jax.lax.scan(body, None, (o_tiles, d_tiles, keys))
+    return out
+
+
 def _block_order(h, w, block):
     """Flat pixel indices in square-block-major order. Screen-local tiles
     give the mesh chunk culler coherent ray frusta (a row-major tile spans
@@ -337,19 +358,15 @@ def render(scene: T.Scene, camera, *, key=None, tile_rays=None):
             directions, ((0, n_pad), (0, 0)), constant_values=1.0
         )
     n_tiles = (n + n_pad) // tile
-    # ONE dispatch for all per-tile keys (a fold_in per tile puts a full
-    # host->device round trip on the critical path of every tile)
-    tile_keys = np.asarray(jax.random.split(key, n_tiles))  # host-resident
-    parts = []
-    for ti in range(n_tiles):
-        i = ti * tile
-        parts.append(
-            _color_at_jit(
-                scene, origins[i : i + tile], directions[i : i + tile],
-                tile_keys[ti], scene.static.recursion_limit,
-            )
-        )
-    img = np.asarray(jnp.concatenate(parts, 0)[:n], np.float32)
+    tile_keys = jax.random.split(key, n_tiles)
+    out = _render_tiles_jit(
+        scene,
+        origins.reshape(n_tiles, tile, 3),
+        directions.reshape(n_tiles, tile, 3),
+        tile_keys,
+        scene.static.recursion_limit,
+    )
+    img = np.asarray(out.reshape(-1, 3)[:n], np.float32)
     out = np.empty_like(img)
     out[order] = img
     return out.reshape(camera.vsize, camera.hsize, 3)

@@ -33,9 +33,11 @@ def normal_at(scene: T.Scene, gid, world_point, u, v):
     off = st.offsets
     ns, npl, ncu, ncy, nco, nt = st.counts
 
-    from raytracer_tpu.core.intersect import table_gather
+    from raytracer_tpu.core.intersect import table_gather, transform_row
 
-    inv = table_gather(scene.inv_tf, gid)
+    # compact transform tables: one row per SOURCE (types.Scene.inv_tf)
+    tgid = transform_row(scene, gid)
+    inv = table_gather(scene.inv_tf, tgid)
     lp = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point, precision="highest") + inv[:, :3, 3]
     lx, ly, lz = lp[:, 0], lp[:, 1], lp[:, 2]
 
@@ -90,7 +92,7 @@ def normal_at(scene: T.Scene, gid, world_point, u, v):
         local = jnp.where(in_fam[:, None], n_fam, local)
 
     # non-triangle: local normal -> world via normal matrix + normalize
-    world_n = normalize(jnp.einsum("rij,rj->ri", table_gather(scene.normal_mat, gid), local, precision="highest"))
+    world_n = normalize(jnp.einsum("rij,rj->ri", table_gather(scene.normal_mat, tgid), local, precision="highest"))
 
     # triangles: stored world-space normals
     if nt:

@@ -134,8 +134,17 @@ class Scene:
     mat_id: Any         # i32 [G] material row per primitive
     pattern_id: Any     # i32 [G]   (-1 = none)
     shadow: Any         # bool [G]  casts shadows (world.rs:107 opt-out)
-    inv_tf: Any         # f32 [G, 4, 4] world -> object (identity for tris)
-    normal_mat: Any     # f32 [G, 3, 3] transforms local normals to world
+    # Transform tables cover the NON-TRIANGLE gids followed by one row per
+    # triangle SOURCE (an individually-added triangle, or a whole mesh
+    # block — every triangle of a mesh shares its block's transform).
+    # Storing a row per triangle made these tables ~100 MB on a
+    # 1M-triangle scene and turned the per-hit row gather into a
+    # million-row gather; the compact table gathers cheaply. Triangle gid
+    # -> row via ``Gn + tri_tf_id[gid - Gn]`` (intersect.transform_row).
+    # Triangle INTERSECTION never reads these (vertices are
+    # world-space-pretransformed); only pattern-space mapping does.
+    inv_tf: Any         # f32 [Gn + n_tf, 4, 4] world -> object
+    normal_mat: Any     # f32 [Gn + n_tf, 3, 3] local normals -> world
     # --- per-family params ----------------------------------------------
     cyl_min: Any        # f32 [Ncy]
     cyl_max: Any        # f32 [Ncy]
@@ -151,6 +160,7 @@ class Scene:
     tri_n3: Any         # f32 [Nt, 3]
     tri_flat_n: Any     # f32 [Nt, 3] unit flat normal (world)
     tri_smooth: Any     # bool [Nt]
+    tri_tf_id: Any      # i32 [max(Nt,1)] transform row (see inv_tf) per tri
     # --- lights -----------------------------------------------------------
     plight_pos: Any     # f32 [Lp, 3]
     plight_intensity: Any  # f32 [Lp, 3]
@@ -173,6 +183,15 @@ class Scene:
     uv_image: Any       # i32 [U]
     images: Any         # f32 [I, Hmax, Wmax, 3]
     image_wh: Any       # i32 [I, 2]  (width, height) of each image
+    # --- precomputed mesh acceleration (derived; see ops/mesh_pallas) -----
+    # Packed free-triangle planes + chunk/supergroup AABBs, built ONCE at
+    # scene compile. Recomputing these inside the jitted trace cost ~30 ms
+    # of a 40 ms dragons tile dispatch (1M-triangle transpose + reductions
+    # re-materialized per dispatch); as pytree leaves they live in HBM and
+    # every dispatch just reads them. None when the scene has no big mesh.
+    mesh_planes: Any = None    # f32 [n_super, SG*ROWS, CHUNK]
+    mesh_bb_chunk: Any = None  # f32 [6, n_chunks]
+    mesh_bb_super: Any = None  # f32 [6, n_super]
     # --- static -----------------------------------------------------------
     static: SceneStatic = dataclasses.field(
         metadata=dict(static=True), default=None

@@ -1,19 +1,22 @@
 """Pallas TPU kernel: nearest triangle hit for a ray tile.
 
-Design (v3 — two-level AABB hierarchy, in-kernel streaming):
+Design (v4 — DMA-gated two-level AABB hierarchy):
 
   * grid = (R / RT,): one program per ray subtile; all loops run inside
     the kernel (a Pallas grid step costs ~us, a fori_loop iteration ~ns);
   * triangles are grouped into chunks of 256 and supergroups of 32
-    chunks (8192 triangles). Supergroups stream HBM -> VMEM through a
-    double buffer as single 512 KB DMAs (latency fully amortized and
-    overlapped with compute);
-  * per supergroup, a slab test of its AABB against the subtile's rays
-    and current best t gates the inner loop entirely; per chunk, the
-    same test gates the Moller-Trumbore block — compute is only spent
-    on geometry this 512-ray frustum can actually see. This is BVH
-    traversal (SURVEY §7.6) reshaped for a wide-SIMD machine: two fixed
-    levels, frustum-granular, no stacks, no divergence;
+    chunks (8192 triangles). A cheap XLA pre-pass slab-tests every
+    supergroup AABB against each subtile's rays and emits a COMPACTED
+    per-subtile list of live supergroup indices (SMEM-resident). The
+    kernel streams ONLY live supergroups HBM -> VMEM through a double
+    buffer of single 512 KB DMAs — v3 streamed the whole mesh per
+    subtile and only gated compute, which made mesh-heavy frames
+    DMA-bound (38 MB x 16 subtiles x ~10 traces per dragons tile);
+  * per chunk, a slab test of its AABB against the subtile's rays and
+    current best t gates the Moller-Trumbore block — compute is only
+    spent on geometry this 512-ray frustum can actually see. This is
+    BVH traversal (SURVEY §7.6) reshaped for a wide-SIMD machine: two
+    fixed levels, frustum-granular, no stacks, no divergence;
   * Moller-Trumbore is straight VPU math on [RT, CHUNK] component
     planes (triangle.rs:93-115 semantics, t > 0 strictly).
 
@@ -95,10 +98,10 @@ def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
     v_ref[:, 0] = jnp.where(better, v_hit, v_ref[:, 0])
 
 
-def _kernel(o_ref, id_ref, d_ref, bbc_ref, bbs_ref, bbr_ref, tri_hbm,
+def _kernel(ids_ref, cnt_ref, o_ref, id_ref, d_ref, bbc_ref, tri_hbm,
             t_ref, g_ref, u_ref, v_ref):
     n_chunks = bbc_ref.shape[1]
-    n_super = bbs_ref.shape[1]
+    i_sub = pl.program_id(0)
 
     t_ref[:] = jnp.full_like(t_ref, jnp.inf)
     g_ref[:] = jnp.zeros_like(g_ref)
@@ -124,54 +127,82 @@ def _kernel(o_ref, id_ref, d_ref, bbc_ref, bbs_ref, bbr_ref, tri_hbm,
         live = (tmin <= tmax + EPSILON) & (tmax >= 0.0) & (tmin < t_ref[:, 0])
         return jnp.any(live)
 
+    n_live = cnt_ref[i_sub]
+
     def body(scratch, sems):
-        def get_dma(slot, s):
+        def get_dma(slot, j):
+            # j-th LIVE supergroup of this subtile (XLA pre-pass compacted
+            # the live indices to the front of ids_ref's row)
             return pltpu.make_async_copy(
-                tri_hbm.at[s], scratch.at[slot], sems.at[slot]
+                tri_hbm.at[ids_ref[i_sub, j]], scratch.at[slot], sems.at[slot]
             )
 
-        def outer(s, _):
-            slot = s % 2
-            nxt = (s + 1) % 2
+        def outer(j, _):
+            slot = j % 2
+            nxt = (j + 1) % 2
 
-            @pl.when(s + 1 < n_super)
+            @pl.when(j + 1 < n_live)
             def _():
-                get_dma(nxt, s + 1).start()
+                get_dma(nxt, j + 1).start()
 
-            get_dma(slot, s).wait()
+            get_dma(slot, j).wait()
+            s = ids_ref[i_sub, j]
 
-            @pl.when(live_any(bbs_ref, s))
-            def _():
-                def inner(c, _):
-                    j = s * SG + c
+            def inner(c, _):
+                cj = s * SG + c
 
-                    @pl.when((j < n_chunks) & live_any(bbc_ref, j))
-                    def _():
-                        _mt_merge(
-                            o_ref, d_ref,
-                            scratch[slot, pl.ds(c * ROWS, ROWS)],
-                            j * CHUNK, t_ref, g_ref, u_ref, v_ref,
-                        )
+                @pl.when((cj < n_chunks) & live_any(bbc_ref, cj))
+                def _():
+                    _mt_merge(
+                        o_ref, d_ref,
+                        scratch[slot, pl.ds(c * ROWS, ROWS)],
+                        cj * CHUNK, t_ref, g_ref, u_ref, v_ref,
+                    )
 
-                    return 0
+                return 0
 
-                jax.lax.fori_loop(0, SG, inner, 0)
-
+            jax.lax.fori_loop(0, SG, inner, 0)
             return 0
 
-        # Root gate: when no ray of this subtile can enter the whole-mesh
-        # AABB (all parked/pointing away), skip every DMA and all compute
-        # — this is what makes parked zero-weight wavefront levels free.
-        @pl.when(live_any(bbr_ref, 0))
+        # n_live == 0 (e.g. every ray parked) skips all DMA and compute —
+        # this is what makes parked zero-weight wavefront levels free.
+        @pl.when(n_live > 0)
         def _():
             get_dma(0, 0).start()
-            jax.lax.fori_loop(0, n_super, outer, 0)
+            jax.lax.fori_loop(0, n_live, outer, 0)
 
     pl.run_scoped(
         body,
         scratch=pltpu.VMEM((2, SG * ROWS, CHUNK), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
+
+
+def _live_supergroups(origins, inv_d, bb_super):
+    """Per-subtile compacted live-supergroup lists (the kernel's DMA gate).
+
+    A supergroup is live for a subtile when ANY of its rays' infinite
+    lines enters the supergroup AABB at some t >= 0 (conservative: no
+    current-best-t tightening — that happens per chunk in the kernel).
+
+    Returns (ids [n_sub, n_super] i32 — live indices compacted to the
+    front, ascending; cnt [n_sub] i32).
+    """
+    ns = bb_super.shape[1]
+    o = origins.reshape(-1, RT, 1, 3)
+    inv = inv_d.reshape(-1, RT, 1, 3)
+    lo = bb_super[:3].T[None, None]                          # [1,1,ns,3]
+    hi = bb_super[3:].T[None, None]
+    t0 = (lo - o) * inv                                      # [n_sub,RT,ns,3]
+    t1 = (hi - o) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), -1)
+    tmax = jnp.min(jnp.maximum(t0, t1), -1)
+    live = jnp.any((tmin <= tmax + EPSILON) & (tmax >= 0.0), 1)  # [n_sub,ns]
+    # live-first stable compaction: sort the (dead, index) keys
+    key = jnp.where(live, 0, 1).astype(jnp.int32)
+    ids = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    cnt = jnp.sum(live, axis=1, dtype=jnp.int32)
+    return ids, cnt
 
 
 def mesh_nearest(origins, directions, tri_planes, bb, *, interpret=False):
@@ -184,12 +215,9 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, interpret=False):
     Returns (t [R], tri_idx [R], u [R], v [R]).
     """
     bb_chunk, bb_super = bb
-    bb_root = jnp.concatenate(
-        [bb_super[:3].min(axis=1, keepdims=True),
-         bb_super[3:].max(axis=1, keepdims=True)]
-    )                                                        # [6, 1]
     r = origins.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-12, 1e-12, directions)
+    ids, cnt = _live_supergroups(origins, inv_d, bb_super)
 
     grid = (r // RT,)
     out_shape = [
@@ -206,18 +234,18 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, interpret=False):
         _kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # live ids
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # live counts
             ray_spec,                                        # origins
             ray_spec,                                        # inv_d
             ray_spec,                                        # directions
             pl.BlockSpec(memory_space=pltpu.SMEM),           # chunk AABBs
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # super AABBs
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # root AABB
             pl.BlockSpec(memory_space=pl.ANY),               # tri planes HBM
         ],
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(origins, inv_d, directions, bb_chunk, bb_super, bb_root, tri_planes)
+    )(ids, cnt, origins, inv_d, directions, bb_chunk, tri_planes)
     return t[:, 0], g[:, 0], u[:, 0], v[:, 0]
 
 

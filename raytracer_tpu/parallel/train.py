@@ -34,6 +34,8 @@ DERIVED_GEOMETRY = frozenset({
     "tri_n1", "tri_n2", "tri_n3", "tri_flat_n",
     "pat_inv",
     "alight_corner", "alight_uvec", "alight_vvec", "alight_pos",
+    # packed copies of the triangle tables (builder.finish)
+    "mesh_planes", "mesh_bb_chunk", "mesh_bb_super",
 })
 
 

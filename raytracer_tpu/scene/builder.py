@@ -232,8 +232,11 @@ class _Builder:
                 shadow=np.array([r["shadow"] for r in rows], bool),
                 csg_under=np.array([r["csg_under"] for r in rows], np.int64),
                 csg_left=np.array([r["csg_left"] for r in rows], np.int64),
+                # one transform row per individual triangle
+                tf_id=np.arange(len(rows), dtype=np.int32),
             ))
-        for blk in self.mesh_blocks:
+        n_rows = len(rows)
+        for bi, blk in enumerate(self.mesh_blocks):
             n = blk["p"].shape[0]
             batches.append(dict(
                 m=np.broadcast_to(blk["m"], (n, 4, 4)),
@@ -243,11 +246,13 @@ class _Builder:
                 shadow=np.full(n, blk["shadow"], bool),
                 csg_under=np.zeros(n, np.int64),
                 csg_left=np.zeros(n, np.int64),
+                # all triangles of a mesh block share one transform row
+                tf_id=np.full(n, n_rows + bi, np.int32),
             ))
         if not batches:
             return None
         keys = ("m", "p", "n", "smooth", "mat", "pattern_id", "shadow",
-                "csg_under", "csg_left")
+                "csg_under", "csg_left", "tf_id")
         return {k: np.concatenate([b[k] for b in batches]) for k in keys}
 
     def finish(self, *, jitter, top_k, recursion_limit) -> T.Scene:
@@ -285,8 +290,11 @@ class _Builder:
         mat = np.zeros((max(g, 1), T.MAT_NCOLS), np.float32)
         pattern_id = np.full(max(g, 1), -1, np.int32)
         shadow = np.ones(max(g, 1), bool)
-        inv_tf = np.tile(np.eye(4, dtype=np.float32), (max(g, 1), 1, 1))
-        normal_mat = np.tile(np.eye(3, dtype=np.float32), (max(g, 1), 1, 1))
+        # non-triangle rows + one row per triangle SOURCE (individual
+        # triangle or mesh block) — see types.Scene.inv_tf
+        n_tf = 0 if tb is None else int(tb["tf_id"].max()) + 1
+        inv_tf = np.tile(np.eye(4, dtype=np.float32), (max(g_nt + n_tf, 1), 1, 1))
+        normal_mat = np.tile(np.eye(3, dtype=np.float32), (max(g_nt + n_tf, 1), 1, 1))
         csg_members = []
 
         if g_nt:
@@ -317,11 +325,16 @@ class _Builder:
             mat[g_nt:g] = tb["mat"]
             pattern_id[g_nt:g] = tb["pattern_id"]
             shadow[g_nt:g] = tb["shadow"]
-            m_t = tb["m"]
-            inv_t = np.linalg.inv(m_t.astype(np.float64)).astype(np.float32)
-            inv_tf[g_nt:g] = inv_t
-            nm_t = inv_t.transpose(0, 2, 1)[:, :3, :3]
-            normal_mat[g_nt:g] = nm_t
+            # per-SOURCE inverse/normal matrices (first occurrence of each
+            # tf id carries the source matrix), then expand per triangle
+            uniq, first = np.unique(tb["tf_id"], return_index=True)
+            src_m = np.zeros((n_tf, 4, 4), np.float64)
+            src_m[uniq] = tb["m"][first]
+            inv_src = np.linalg.inv(src_m).astype(np.float32)
+            nm_src = inv_src.transpose(0, 2, 1)[:, :3, :3]
+            inv_tf[g_nt : g_nt + n_tf] = inv_src
+            normal_mat[g_nt : g_nt + n_tf] = nm_src
+            nm_t = nm_src[tb["tf_id"]]
             for i in np.nonzero(tb["csg_under"])[0]:
                 csg_members.append((
                     g_nt + int(i), int(tb["csg_under"][i]), int(tb["csg_left"][i])
@@ -347,11 +360,13 @@ class _Builder:
             tri_n = [
                 np.where(sm, n_world[:, k], tri_flat) for k in range(3)
             ]
+            tri_tf_id = tb["tf_id"].astype(np.int32)
         else:
             tri_p1 = tri_e1 = tri_e2 = np.zeros((0, 3), np.float32)
             tri_flat = np.zeros((0, 3), np.float32)
             tri_smooth = np.zeros(0, bool)
             tri_n = [np.zeros((0, 3), np.float32) for _ in range(3)]
+            tri_tf_id = np.zeros(1, np.int32)
 
         # lights
         lp = self.point_lights
@@ -452,6 +467,20 @@ class _Builder:
         mat_table, mat_id = np.unique(mat, axis=0, return_inverse=True)
         mat_id = np.ascontiguousarray(mat_id.reshape(-1).astype(np.int32))
 
+        # Precompute the packed mesh acceleration structure once (planes in
+        # the Pallas kernel's DMA layout + chunk/supergroup AABBs). Doing
+        # this inside the jitted trace re-materialized a 1M-triangle
+        # transpose + reductions on every dispatch (~3/4 of a dragons tile).
+        mesh_planes = mesh_bb_chunk = mesh_bb_super = None
+        nt_free = nt - n_csg_tris
+        if nt_free >= 1024:
+            from raytracer_tpu.ops import mesh_pallas as MP
+
+            sl = slice(n_csg_tris, nt)
+            mesh_planes, (mesh_bb_chunk, mesh_bb_super) = MP.pack_tri_planes(
+                tri_p1[sl], tri_e1[sl], tri_e2[sl]
+            )
+
         return jax.tree.map(dev, T.Scene(
             mat=mat_table, mat_id=mat_id,
             pattern_id=pattern_id, shadow=shadow, inv_tf=inv_tf,
@@ -461,6 +490,7 @@ class _Builder:
             tri_p1=tri_p1, tri_e1=tri_e1, tri_e2=tri_e2,
             tri_n1=tri_n[0], tri_n2=tri_n[1], tri_n3=tri_n[2],
             tri_flat_n=tri_flat, tri_smooth=tri_smooth,
+            tri_tf_id=tri_tf_id,
             plight_pos=plight_pos, plight_intensity=plight_int,
             alight_corner=a_corner, alight_uvec=a_uvec, alight_vvec=a_vvec,
             alight_pos=a_pos, alight_intensity=a_int,
@@ -468,5 +498,7 @@ class _Builder:
             pat_map=pat_map, pat_uv=pat_uv,
             uv_kind=uv_kind, uv_wh=uv_wh, uv_colors=uv_colors,
             uv_image=uv_image, images=images, image_wh=image_wh,
+            mesh_planes=mesh_planes, mesh_bb_chunk=mesh_bb_chunk,
+            mesh_bb_super=mesh_bb_super,
             static=static,
         ))

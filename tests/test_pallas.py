@@ -38,3 +38,44 @@ def test_mesh_nearest_matches_oracle(nt):
     assert np.allclose(np.asarray(u)[hit], np.asarray(u_ref)[hit], atol=1e-5)
     assert np.allclose(np.asarray(v)[hit], np.asarray(v_ref)[hit], atol=1e-5)
     assert not np.isfinite(np.asarray(t)[~hit]).any()
+
+
+def test_precomputed_pack_matches_inline():
+    """builder.finish precomputes mesh_planes/mesh_bb_* for big meshes;
+    nearest_hit through the precomputed tables must equal a scene with
+    the tables stripped (on-the-fly pack / inline AABB path)."""
+    import dataclasses
+    import jax
+    from raytracer_tpu.scene import specs as S
+    from raytracer_tpu.scene.builder import build_scene
+    from raytracer_tpu.core.intersect import nearest_hit
+
+    rng = np.random.default_rng(7)
+    nt = 1500
+    p = np.cumsum(rng.normal(0, 0.4, (nt, 1, 3)), axis=0) + rng.normal(
+        0, 0.3, (nt, 3, 3)
+    )
+    mesh = S.Mesh(
+        p=p.astype(np.float32),
+        n=np.zeros((nt, 3, 3), np.float32),
+        smooth=np.zeros(nt, bool),
+    )
+    scene = build_scene([mesh, S.PointLight(position=(0, 10, 0))])
+    assert scene.mesh_planes is not None
+    stripped = dataclasses.replace(
+        scene, mesh_planes=None, mesh_bb_chunk=None, mesh_bb_super=None
+    )
+
+    r = 256
+    o = jnp.asarray(rng.uniform(-2, 2, (r, 3)) + np.array([0, 0, -40.0]),
+                    jnp.float32)
+    d = rng.normal(0, 0.05, (r, 3)) + np.array([0, 0, 1.0])
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+
+    pre = jax.jit(lambda o_, d_: nearest_hit(scene, o_, d_))(o, d)
+    inl = jax.jit(lambda o_, d_: nearest_hit(stripped, o_, d_))(o, d)
+    for a, b, name in zip(pre, inl, ("has", "t", "gid", "u", "v")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6, err_msg=name
+        )
+    assert bool(np.asarray(pre[0]).any())
