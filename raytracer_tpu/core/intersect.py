@@ -56,12 +56,26 @@ def select_col(x, idx):
 def table_gather(table, idx, limit: int = 32):
     """``table[idx]`` that avoids the TPU gather custom-call when the
     table is small: a masked broadcast-reduce over the table axis (exact
-    — no matmul rounding). Falls back to a real gather for big tables
-    (meshes), where the one-hot mask would dwarf the gather cost.
+    — no matmul rounding). Medium float tables (G <= 1024) go through a
+    one-hot MXU matmul — also exact, because each output row has exactly
+    one non-zero product (value * 1.0) and zero terms add exactly, and
+    precision=HIGHEST keeps the f32 inputs unrounded. Falls back to a
+    real gather only for big tables (meshes), where the one-hot operand
+    would dwarf the gather cost.
+
+    The matmul path requires FINITE table values (0 * inf = NaN) — true
+    for every float table routed here (materials, transforms, pattern
+    params); tables with sentinel infinities (cyl_min/max) are only read
+    as whole-family slices, never through table_gather.
 
     table: [G, ...rest]; idx: any integer shape; returns [*idx, ...rest].
     """
     g = table.shape[0]
+    if g > limit and g <= 1024 and jnp.issubdtype(table.dtype, jnp.floating):
+        oh = (idx[..., None] == jnp.arange(g)).astype(table.dtype)
+        flat = table.reshape(g, -1)
+        out = jnp.einsum("...g,gk->...k", oh, flat, precision="highest")
+        return out.reshape(idx.shape + table.shape[1:])
     if g > limit:
         return table[idx]
     mask = idx[..., None] == jnp.arange(g)               # [*idx, G]

@@ -285,8 +285,8 @@ def _color_at_jit(scene, origins, directions, key, limit):
     return color_at(scene, origins, directions, key, limit)
 
 
-@functools.partial(jax.jit, static_argnames=("limit",))
-def _render_tiles_jit(scene, o_tiles, d_tiles, keys, limit):
+@functools.partial(jax.jit, static_argnames=("limit", "quantize"))
+def _render_tiles_jit(scene, o_tiles, d_tiles, keys, limit, quantize=False):
     """All tiles of a frame in ONE dispatch: lax.scan over the tile axis.
 
     Per-dispatch overhead is per ARGUMENT BUFFER on remote-TPU transports
@@ -303,6 +303,12 @@ def _render_tiles_jit(scene, o_tiles, d_tiles, keys, limit):
         return carry, color_at(scene, o, d, k, limit)
 
     _, out = jax.lax.scan(body, None, (o_tiles, d_tiles, keys))
+    if quantize:
+        # canvas.quantize_u8 bit-exact (clamp + round-half-away-from-zero
+        # in f32): quantizing ON DEVICE shrinks the frame transfer 4x —
+        # 0.3-0.6 s of a dragons frame was the f32 image crossing the
+        # remote-TPU tunnel (~15-23 MB/s measured).
+        out = jnp.floor(jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
     return out
 
 
@@ -331,8 +337,14 @@ def pick_tile_rays(static: T.SceneStatic) -> int:
     return 1 << 13 if n_free_tris > 20000 else 1 << 17
 
 
-def render(scene: T.Scene, camera, *, key=None, tile_rays=None):
-    """Full frame -> float32 [vsize, hsize, 3] numpy image."""
+def render(scene: T.Scene, camera, *, key=None, tile_rays=None,
+           quantize=False):
+    """Full frame -> float32 [vsize, hsize, 3] numpy image.
+
+    ``quantize=True`` returns uint8 instead, quantized ON DEVICE with the
+    exact :func:`canvas.quantize_u8` formula — bit-identical PPM output at
+    a quarter of the device->host transfer. Use it when the image goes
+    straight to PPM (no float post-processing such as dithering)."""
     from raytracer_tpu.camera import ray_grid
 
     if key is None:
@@ -365,8 +377,9 @@ def render(scene: T.Scene, camera, *, key=None, tile_rays=None):
         directions.reshape(n_tiles, tile, 3),
         tile_keys,
         scene.static.recursion_limit,
+        quantize,
     )
-    img = np.asarray(out.reshape(-1, 3)[:n], np.float32)
+    img = np.asarray(out).reshape(-1, 3)[:n]
     out = np.empty_like(img)
     out[order] = img
     return out.reshape(camera.vsize, camera.hsize, 3)

@@ -98,13 +98,13 @@ def normal_at(scene: T.Scene, gid, world_point, u, v):
     if nt:
         tri_lo = off[5]
         tidx = jnp.clip(gid - tri_lo, 0, nt - 1)
-        smooth = scene.tri_smooth[tidx]
+        row = scene.tri_shade[tidx]                        # [R, 13]
         interp = (
-            u[:, None] * scene.tri_n2[tidx]
-            + v[:, None] * scene.tri_n3[tidx]
-            + (1.0 - u - v)[:, None] * scene.tri_n1[tidx]
+            u[:, None] * row[:, 3:6]
+            + v[:, None] * row[:, 6:9]
+            + (1.0 - u - v)[:, None] * row[:, 0:3]
         )
-        tri_n = jnp.where(smooth[:, None], normalize(interp), scene.tri_flat_n[tidx])
+        tri_n = jnp.where(row[:, 12:13] != 0.0, normalize(interp), row[:, 9:12])
         world_n = jnp.where((gid >= tri_lo)[:, None], tri_n, world_n)
 
     return world_n

@@ -155,11 +155,12 @@ class Scene:
     tri_p1: Any         # f32 [Nt, 3] world space
     tri_e1: Any         # f32 [Nt, 3]
     tri_e2: Any         # f32 [Nt, 3]
-    tri_n1: Any         # f32 [Nt, 3] world-space shading normal basis
-    tri_n2: Any         # f32 [Nt, 3]
-    tri_n3: Any         # f32 [Nt, 3]
-    tri_flat_n: Any     # f32 [Nt, 3] unit flat normal (world)
-    tri_smooth: Any     # bool [Nt]
+    # One row per triangle with everything the shading pass needs:
+    # [n1(3) | n2(3) | n3(3) | flat_n(3) | smooth flag]. Packed so a hit
+    # costs ONE per-triangle gather — five separate [Nt] gathers were
+    # ~100 ms/frame on a 1M-triangle scene (gather cost is per row
+    # visited, not per byte).
+    tri_shade: Any      # f32 [Nt, 13] world-space normals + smooth flag
     tri_tf_id: Any      # i32 [max(Nt,1)] transform row (see inv_tf) per tri
     # --- lights -----------------------------------------------------------
     plight_pos: Any     # f32 [Lp, 3]

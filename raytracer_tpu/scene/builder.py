@@ -360,12 +360,14 @@ class _Builder:
             tri_n = [
                 np.where(sm, n_world[:, k], tri_flat) for k in range(3)
             ]
+            tri_shade = np.concatenate(
+                tri_n + [tri_flat, tri_smooth[:, None].astype(np.float32)],
+                axis=1,
+            ).astype(np.float32)
             tri_tf_id = tb["tf_id"].astype(np.int32)
         else:
             tri_p1 = tri_e1 = tri_e2 = np.zeros((0, 3), np.float32)
-            tri_flat = np.zeros((0, 3), np.float32)
-            tri_smooth = np.zeros(0, bool)
-            tri_n = [np.zeros((0, 3), np.float32) for _ in range(3)]
+            tri_shade = np.zeros((0, 13), np.float32)
             tri_tf_id = np.zeros(1, np.int32)
 
         # lights
@@ -488,8 +490,7 @@ class _Builder:
             cyl_min=cyl_min, cyl_max=cyl_max, cyl_closed=cyl_closed,
             cone_min=cone_min, cone_max=cone_max, cone_closed=cone_closed,
             tri_p1=tri_p1, tri_e1=tri_e1, tri_e2=tri_e2,
-            tri_n1=tri_n[0], tri_n2=tri_n[1], tri_n3=tri_n[2],
-            tri_flat_n=tri_flat, tri_smooth=tri_smooth,
+            tri_shade=tri_shade,
             tri_tf_id=tri_tf_id,
             plight_pos=plight_pos, plight_intensity=plight_int,
             alight_corner=a_corner, alight_uvec=a_uvec, alight_vvec=a_vvec,

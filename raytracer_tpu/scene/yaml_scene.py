@@ -376,7 +376,14 @@ def render_scene_file(
 
     text = Path(scene_path).read_text()
     camera, scene = parse_scene(text, obj_files=obj_files, ppm_files=ppm_files)
-    img = render(scene, camera, tile_rays=tile_rays, key=key)
+    # No dithering -> the image goes straight to u8 PPM, so quantize on
+    # device (4x smaller transfer; u8/255 -> quantize_u8 round-trips
+    # exactly, verified in test_canvas_camera). Dithering operates on the
+    # float canvas (scene.rs:215-222), so it keeps the float path.
+    q = dithering is None
+    img = render(scene, camera, tile_rays=tile_rays, key=key, quantize=q)
+    if q:
+        img = img.astype(np.float32) / 255.0
     canvas = Canvas(camera.hsize, camera.vsize, img)
     if dithering is not None:
         n, colored = {

@@ -107,3 +107,26 @@ def test_canvas_io_helpers():
     c2 = Canvas.from_ppm(io.BytesIO(buf.getvalue()))
     assert c2.width == 3 and c2.height == 2
     assert np.allclose(c2.pixel_at(1, 0), [0.25, 0.5, 0.75], atol=1 / 255)
+
+
+def test_render_quantize_matches_host_quantization(default_world):
+    """render(quantize=True) must be bit-identical to host quantize_u8 of
+    the float render, and u8/255 must round-trip through quantize_u8 (the
+    CLI path converts the u8 image back to a float canvas)."""
+    import math
+
+    from raytracer_tpu import transforms as tf
+    from raytracer_tpu.camera import Camera
+    from raytracer_tpu.canvas import quantize_u8
+    from raytracer_tpu.core.render import render
+
+    cam = Camera(32, 24, math.pi / 3).with_transform(
+        tf.view_transform((0.0, 1.5, -5.0), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    )
+    f = render(default_world, cam)
+    q = render(default_world, cam, quantize=True)
+    assert q.dtype == np.uint8
+    assert (quantize_u8(f) == q).all()
+    # exact u8 -> float -> u8 round trip for all 256 values
+    k = np.arange(256, dtype=np.uint8)
+    assert (quantize_u8(k.astype(np.float32) / 255.0) == k).all()
