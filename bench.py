@@ -72,8 +72,12 @@ def bench_dragons(iters):
         (REPO / "benchmarks/dragons_equiv.yaml").read_text(),
         obj_files=[str(REF / "obj/teapot.obj")],
     )
-    render(scene, cam)  # warm-up/compile
-    dt, img = median_time(lambda: render(scene, cam), iters)
+    # quantize=True = the CLI/PPM path (bit-identical u8 output, quantized
+    # on device). The f32 image otherwise crosses the remote-TPU tunnel at
+    # a measured 15-50 MB/s, adding 0.2-3 s of pure transfer noise that
+    # says nothing about the renderer.
+    render(scene, cam, quantize=True)  # warm-up/compile
+    dt, img = median_time(lambda: render(scene, cam, quantize=True), iters)
     assert np.isfinite(img).all()
     px = cam.hsize * cam.vsize
     return dict(
@@ -91,8 +95,8 @@ def bench_flagship(iters, hsize=1280, vsize=720):
 
     scene = _flagship_scene()
     cam = _camera(hsize, vsize)
-    render(scene, cam)
-    dt, img = median_time(lambda: render(scene, cam), iters)
+    render(scene, cam, quantize=True)
+    dt, img = median_time(lambda: render(scene, cam, quantize=True), iters)
     assert np.isfinite(img).all()
     px = cam.hsize * cam.vsize
     return dict(
@@ -110,8 +114,10 @@ def bench_soft_shadows(iters):
 
     cam, scene = parse_scene((REF / "scenes/soft_shadows.yaml").read_text())
     key = jax.random.PRNGKey(0)
-    render(scene, cam, key=key)
-    dt, img = median_time(lambda: render(scene, cam, key=key), iters)
+    render(scene, cam, key=key, quantize=True)
+    dt, img = median_time(
+        lambda: render(scene, cam, key=key, quantize=True), iters
+    )
     assert np.isfinite(img).all()
     px = cam.hsize * cam.vsize
     return dict(

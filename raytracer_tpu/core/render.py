@@ -285,8 +285,46 @@ def _color_at_jit(scene, origins, directions, key, limit):
     return color_at(scene, origins, directions, key, limit)
 
 
-@functools.partial(jax.jit, static_argnames=("limit", "quantize"))
-def _render_tiles_jit(scene, o_tiles, d_tiles, keys, limit, quantize=False):
+def tile_rays(inv, consts, idx, hsize: int):
+    """Primary rays for flat pixel ids, on device (camera.rs:45-64 math).
+
+    inv: [4,4] inverse camera transform; consts: [3] = (half_width,
+    half_height, pixel_size); idx: [R] i32 flat pixel ids (py*hsize+px).
+    Returns (origins [R,3], directions [R,3]). Shared by the frame scan
+    and the resumable per-tile renderer so both produce identical rays.
+    """
+    half_w, half_h, psize = consts[0], consts[1], consts[2]
+    origin = inv[:3, 3]
+    pxf = (idx % hsize).astype(jnp.float32)
+    pyf = (idx // hsize).astype(jnp.float32)
+    wx = half_w - (pxf + 0.5) * psize
+    wy = half_h - (pyf + 0.5) * psize
+    ph = jnp.stack([wx, wy, jnp.full_like(wx, -1.0), jnp.ones_like(wx)], -1)
+    pw = jnp.einsum("rj,ij->ri", ph, inv, precision="highest")
+    d = pw[:, :3] - origin
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.broadcast_to(origin, d.shape), d
+
+
+def camera_consts(camera):
+    """(inv [4,4], consts [3]) device args of :func:`tile_rays`."""
+    inv = jnp.asarray(np.linalg.inv(camera.transform), jnp.float32)
+    consts = jnp.asarray(
+        [camera.half_width, camera.half_height, camera.pixel_size],
+        jnp.float32,
+    )
+    return inv, consts
+
+
+@functools.partial(jax.jit, static_argnames=("limit", "hsize"))
+def _tile_color_jit(scene, inv, consts, idx, key, limit, hsize):
+    o, d = tile_rays(inv, consts, idx, hsize)
+    return color_at(scene, o, d, key, limit)
+
+
+@functools.partial(jax.jit, static_argnames=("limit", "quantize", "hsize"))
+def _render_frame_jit(scene, inv, consts, idx_tiles, key, limit, quantize,
+                      hsize):
     """All tiles of a frame in ONE dispatch: lax.scan over the tile axis.
 
     Per-dispatch overhead is per ARGUMENT BUFFER on remote-TPU transports
@@ -296,13 +334,25 @@ def _render_tiles_jit(scene, o_tiles, d_tiles, keys, limit, quantize=False):
     chunk-culling lax.conds intact (scan bodies are traced once, executed
     per-iteration — not vmapped), streams every tile on-device, and pays
     the argument overhead once per frame.
+
+    Primary rays are generated IN the scan body from the inverse camera
+    matrix (camera.rs:45-64 math) and the pixel-id tiles: shipping
+    precomputed [R, 3] origin/direction arrays cost ~22 MB of
+    host->device transfer per dragons frame (~0.6 s at the tunnel's
+    measured 15-50 MB/s) for what is three multiply-adds per ray.
+
+    inv: [4,4] inverse camera transform; consts: [3] =
+    (half_width, half_height, pixel_size); idx_tiles: [n_tiles, tile]
+    i32 flat pixel ids (block-major order, padding repeats id 0).
     """
+    keys = jax.random.split(key, idx_tiles.shape[0])
 
     def body(carry, xs):
-        o, d, k = xs
+        idx, k = xs
+        o, d = tile_rays(inv, consts, idx, hsize)
         return carry, color_at(scene, o, d, k, limit)
 
-    _, out = jax.lax.scan(body, None, (o_tiles, d_tiles, keys))
+    _, out = jax.lax.scan(body, None, (idx_tiles, keys))
     if quantize:
         # canvas.quantize_u8 bit-exact (clamp + round-half-away-from-zero
         # in f32): quantizing ON DEVICE shrinks the frame transfer 4x —
@@ -325,6 +375,27 @@ def _block_order(h, w, block):
     return np.concatenate(cols)
 
 
+# (h, w, tile) -> (host order [n], device idx_tiles [n_tiles, tile] i32).
+# The pixel-id tiles are camera-pose independent, so one small transfer
+# serves every frame at that resolution (~a few MB, cached on device).
+_ORDER_CACHE = {}
+
+
+def _order_tiles(h, w, tile):
+    got = _ORDER_CACHE.get((h, w, tile))
+    if got is None:
+        order = _block_order(h, w, max(int(tile ** 0.5), 1))
+        n = h * w
+        n_pad = -n % tile
+        padded = np.pad(order, (0, n_pad)) if n_pad else order
+        idx_tiles = jax.device_put(
+            jnp.asarray(padded.reshape(-1, tile), jnp.int32)
+        )
+        got = (order, idx_tiles)
+        _ORDER_CACHE[(h, w, tile)] = got
+    return got
+
+
 def pick_tile_rays(static: T.SceneStatic) -> int:
     """Adaptive rays-per-dispatch. Mesh-heavy scenes want small
     screen-local tiles: chunk-AABB culling rejects ~70-90% of triangle
@@ -345,8 +416,6 @@ def render(scene: T.Scene, camera, *, key=None, tile_rays=None,
     exact :func:`canvas.quantize_u8` formula — bit-identical PPM output at
     a quarter of the device->host transfer. Use it when the image goes
     straight to PPM (no float post-processing such as dithering)."""
-    from raytracer_tpu.camera import ray_grid
-
     if key is None:
         key = jax.random.PRNGKey(0)
     if tile_rays is None:
@@ -354,30 +423,14 @@ def render(scene: T.Scene, camera, *, key=None, tile_rays=None,
     # Pin the scene tables on device once; otherwise every tile dispatch
     # re-transfers the whole SoA from host (catastrophic over remote TPU).
     scene = jax.device_put(scene)
-    origins, directions = ray_grid(camera)
-    n = origins.shape[0]
+    n = camera.vsize * camera.hsize
     tile = min(tile_rays, n)
 
-    order = _block_order(camera.vsize, camera.hsize, max(int(tile ** 0.5), 1))
-    order_j = jnp.asarray(order)
-    origins = origins[order_j]
-    directions = directions[order_j]
-
-    n_pad = -n % tile
-    if n_pad:
-        origins = jnp.pad(origins, ((0, n_pad), (0, 0)))
-        directions = jnp.pad(
-            directions, ((0, n_pad), (0, 0)), constant_values=1.0
-        )
-    n_tiles = (n + n_pad) // tile
-    tile_keys = jax.random.split(key, n_tiles)
-    out = _render_tiles_jit(
-        scene,
-        origins.reshape(n_tiles, tile, 3),
-        directions.reshape(n_tiles, tile, 3),
-        tile_keys,
-        scene.static.recursion_limit,
-        quantize,
+    order, idx_tiles = _order_tiles(camera.vsize, camera.hsize, tile)
+    inv, consts = camera_consts(camera)
+    out = _render_frame_jit(
+        scene, inv, consts, idx_tiles, key,
+        scene.static.recursion_limit, quantize, camera.hsize,
     )
     img = np.asarray(out).reshape(-1, 3)[:n]
     out = np.empty_like(img)

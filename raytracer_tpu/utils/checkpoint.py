@@ -18,7 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raytracer_tpu.core.render import _block_order, _color_at_jit
+from raytracer_tpu.core.render import (
+    _block_order, _tile_color_jit, camera_consts,
+)
 from raytracer_tpu.utils.profiling import RenderStats
 
 
@@ -48,8 +50,6 @@ def render_resumable(scene, camera, checkpoint_path, *, key=None,
     ``checkpoint_path`` is a directory; re-running with the same path and
     shape resumes after the last complete tile. Returns the full image.
     """
-    from raytracer_tpu.camera import ray_grid
-
     ckpt = Path(checkpoint_path)
     ckpt.mkdir(parents=True, exist_ok=True)
     meta_p = ckpt / "meta.json"
@@ -59,8 +59,7 @@ def render_resumable(scene, camera, checkpoint_path, *, key=None,
     if key is None:
         key = jax.random.PRNGKey(0)
     scene = jax.device_put(scene)
-    origins, directions = ray_grid(camera)
-    n = origins.shape[0]
+    n = camera.vsize * camera.hsize
     tile = min(tile_rays, n)
     n_tiles = -(-n // tile)
 
@@ -79,13 +78,9 @@ def render_resumable(scene, camera, checkpoint_path, *, key=None,
         meta_p.write_text(json.dumps(meta))
 
     order = _block_order(camera.vsize, camera.hsize, max(int(tile ** 0.5), 1))
-    order_j = jnp.asarray(order)
-    o_b = origins[order_j]
-    d_b = directions[order_j]
     n_pad = -n % tile
-    if n_pad:
-        o_b = jnp.pad(o_b, ((0, n_pad), (0, 0)))
-        d_b = jnp.pad(d_b, ((0, n_pad), (0, 0)), constant_values=1.0)
+    padded = np.pad(order, (0, n_pad)) if n_pad else order
+    inv, consts = camera_consts(camera)
 
     for ti in range(n_tiles):
         if done[ti]:
@@ -94,9 +89,10 @@ def render_resumable(scene, camera, checkpoint_path, *, key=None,
             stats.start_tile()
         i = ti * tile
         tkey = jax.random.fold_in(key, i)
-        part = np.asarray(_color_at_jit(
-            scene, o_b[i : i + tile], d_b[i : i + tile], tkey,
-            scene.static.recursion_limit,
+        part = np.asarray(_tile_color_jit(
+            scene, inv, consts,
+            jnp.asarray(padded[i : i + tile], jnp.int32), tkey,
+            scene.static.recursion_limit, camera.hsize,
         ))
         sel = order[i : min(i + tile, n)]
         flat[sel] = part[: len(sel)]
