@@ -247,7 +247,27 @@ def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
     w = jnp.ones((r, 3))
     for level in range(limit + 1):
         lkey = jax.random.fold_in(key, level) if key is not None else None
-        colored, refl, refr = shade_level(scene, o, d, w, lkey)
+        if level == 0:
+            colored, refl, refr = shade_level(scene, o, d, w, lkey)
+        else:
+            # Whole-level skip: once every ray of this tile is parked
+            # (zero weight), the level's FIXED costs — supergroup
+            # pre-pass, static-family trace, shadow query, gathers,
+            # n1/n2 walk — are pure waste. Exact: a parked level
+            # contributes 0 and spawns only zero-weight children. On the
+            # dragons scene live tiles thin out fast with depth, so this
+            # recovers most of the deep-level floor.
+            def _live(args):
+                return shade_level(scene, *args)
+
+            def _dead(args):
+                o_, d_, w_, _ = args
+                z = jnp.zeros_like(w_)
+                return (z, (o_, d_, z), (o_, d_, z))
+
+            colored, refl, refr = jax.lax.cond(
+                jnp.any(w > 0.0), _live, _dead, (o, d, w, lkey)
+            )
         img = img + colored.reshape(-1, r, 3).sum(0)
         if level == limit:
             break
@@ -405,7 +425,7 @@ def pick_tile_rays(static: T.SceneStatic) -> int:
     ~200ms on remote TPU transports); depth-4 spawn trees bound the
     ceiling."""
     n_free_tris = static.counts[5] - static.n_csg_tris
-    return 1 << 13 if n_free_tris > 20000 else 1 << 17
+    return 1 << 12 if n_free_tris > 20000 else 1 << 17
 
 
 def render(scene: T.Scene, camera, *, key=None, tile_rays=None,

@@ -185,8 +185,14 @@ def _live_supergroups(origins, inv_d, bb_super):
     lines enters the supergroup AABB at some t >= 0 (conservative: no
     current-best-t tightening — that happens per chunk in the kernel).
 
-    Returns (ids [n_sub, n_super] i32 — live indices compacted to the
-    front, ascending; cnt [n_sub] i32).
+    Live supergroups are ordered FRONT-TO-BACK by their nearest frustum
+    entry distance: the kernel's running best-t then tightens after the
+    first (nearest) geometry, and the per-chunk ``tmin < best`` gate
+    rejects everything occluded behind it — the traversal-order half of
+    a BVH, recovered as a sort key.
+
+    Returns (ids [n_sub, n_super] i32 — live indices front-to-back;
+    cnt [n_sub] i32).
     """
     ns = bb_super.shape[1]
     o = origins.reshape(-1, RT, 1, 3)
@@ -197,10 +203,13 @@ def _live_supergroups(origins, inv_d, bb_super):
     t1 = (hi - o) * inv
     tmin = jnp.max(jnp.minimum(t0, t1), -1)
     tmax = jnp.min(jnp.maximum(t0, t1), -1)
-    live = jnp.any((tmin <= tmax + EPSILON) & (tmax >= 0.0), 1)  # [n_sub,ns]
-    # live-first stable compaction: sort the (dead, index) keys
-    key = jnp.where(live, 0, 1).astype(jnp.int32)
-    ids = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    hit = (tmin <= tmax + EPSILON) & (tmax >= 0.0)           # [n_sub,RT,ns]
+    live = jnp.any(hit, 1)                                   # [n_sub,ns]
+    # entry distance of the subtile frustum = nearest ray entry (>= 0)
+    entry = jnp.min(
+        jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf), axis=1
+    )                                                        # [n_sub,ns]
+    ids = jnp.argsort(jnp.where(live, entry, jnp.inf), axis=1).astype(jnp.int32)
     cnt = jnp.sum(live, axis=1, dtype=jnp.int32)
     return ids, cnt
 
