@@ -4,8 +4,8 @@ Design (v4 — DMA-gated two-level AABB hierarchy):
 
   * grid = (R / RT,): one program per ray subtile; all loops run inside
     the kernel (a Pallas grid step costs ~us, a fori_loop iteration ~ns);
-  * triangles are grouped into chunks of 256 and supergroups of 32
-    chunks (8192 triangles). A cheap XLA pre-pass slab-tests every
+  * triangles are grouped into chunks of CHUNK and supergroups of SG
+    chunks (CHUNK*SG = 8192 triangles). A cheap XLA pre-pass slab-tests every
     supergroup AABB against each subtile's rays and emits a COMPACTED
     per-subtile list of live supergroup indices (SMEM-resident). The
     kernel streams ONLY live supergroups HBM -> VMEM through a double
@@ -35,10 +35,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.constants import EPSILON
 
-RT = 512           # rays per subtile ([RT, CHUNK] f32 planes must fit VMEM)
-CHUNK = 256        # triangles per chunk (matches intersect.TRI_CHUNK)
+# Swept on the 1.06M-triangle dragons-equivalent frame (r2):
+#   RT  512/256/128 -> 0.70/0.65/0.86 s;  CHUNK x SG (tris fixed at 8192)
+#   128x64 1.01 s, 256x32 0.83 s, 512x16 0.71 s, 1024x8 0.65 s, 2048x4
+#   0.71 s. Wide chunks amortize per-iteration loop overhead; RT=256
+#   keeps frusta tight enough for the chunk gate. ROWS is forced by the
+#   f32 (8,128) tile: a 9-sublane block physically occupies 16 rows, so
+#   trimming the pad cannot shrink the DMA.
+RT = 256           # rays per subtile ([RT, CHUNK] f32 planes must fit VMEM)
+CHUNK = 1024       # triangles per chunk
 ROWS = 16          # plane rows per chunk (9 used, padded for DMA alignment)
-SG = 32            # chunks per supergroup (one DMA unit: SG*ROWS*CHUNK*4 B)
+SG = 8             # chunks per supergroup (one DMA unit: SG*ROWS*CHUNK*4 B)
 
 
 def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
