@@ -1,0 +1,99 @@
+"""Repeatable full-frame parity sweep against the reference's renders.
+
+Renders every reference sample scene whose assets are present locally
+(samples/rendered/*.png are the oracle, committed by the reference repo)
+through the SAME path a user runs — parse_scene + render(quantize=True),
+i.e. the CLI pipeline — and reports per-scene exact-pixel percentages.
+Writes PARITY_SWEEP.json next to the repo root.
+
+Excluded:
+  * dragons / earth / skybox — need externally-downloaded assets
+    (dragon.obj, earthmap PPM, field PPMs; reference README.md).
+  * soft_shadows — the reference uses unseeded RNG jitter
+    (lights.rs:114-120), so parity is a statistical envelope: we report
+    mean |diff| instead of exact pixels (tests/test_golden.py asserts
+    the envelope in CI).
+
+Usage: python benchmarks/golden_sweep.py   (any backend; TPU recommended)
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from PIL import Image  # noqa: E402
+
+import jax  # noqa: E402
+
+from raytracer_tpu.scene.yaml_scene import parse_scene  # noqa: E402
+from raytracer_tpu.core.render import render  # noqa: E402
+
+REF = Path("/root/reference/samples")
+OBJS = [str(p) for p in (REF / "obj").glob("*.obj")]
+
+EXACT_SCENES = [
+    "basic_scene",
+    "checkered_cube",
+    "checkered_cylinder",
+    "checkered_plane",
+    "checkered_sphere",
+    "cover",
+    "csg",
+    "space_ship",
+    "space_teapot",
+]
+
+
+def main():
+    results = {}
+    for name in EXACT_SCENES:
+        ref = np.asarray(
+            Image.open(REF / "rendered" / f"{name}.png").convert("RGB")
+        )
+        cam, scene = parse_scene(
+            (REF / "scenes" / f"{name}.yaml").read_text(), obj_files=OBJS
+        )
+        t0 = time.perf_counter()
+        img = render(scene, cam, quantize=True)
+        dt = time.perf_counter() - t0
+        diff = np.abs(img.astype(int) - ref.astype(int)).max(-1)
+        results[name] = dict(
+            exact_pct=round(float((diff == 0).mean()) * 100.0, 3),
+            within1_pct=round(float((diff <= 1).mean()) * 100.0, 3),
+            maxdiff=int(diff.max()),
+            seconds=round(dt, 3),
+            resolution=f"{cam.hsize}x{cam.vsize}",
+        )
+        print(name, results[name])
+
+    # soft_shadows: statistical envelope (unseeded RNG on the reference
+    # side; seeded jax.random here)
+    ref = np.asarray(
+        Image.open(REF / "rendered" / "soft_shadows.png").convert("RGB")
+    )
+    cam, scene = parse_scene((REF / "scenes" / "soft_shadows.yaml").read_text())
+    img = render(scene, cam, quantize=True, key=jax.random.PRNGKey(0))
+    diff = np.abs(img.astype(np.float64) - ref.astype(np.float64))
+    results["soft_shadows"] = dict(
+        mean_abs_diff_u8=round(float(diff.mean()), 3),
+        p99_abs_diff_u8=round(float(np.percentile(diff, 99)), 1),
+        note="statistical envelope (reference jitter is unseeded RNG)",
+    )
+    print("soft_shadows", results["soft_shadows"])
+
+    out = dict(
+        backend=jax.default_backend(),
+        scenes=results,
+    )
+    (REPO / "PARITY_SWEEP.json").write_text(json.dumps(out, indent=2))
+    print("wrote PARITY_SWEEP.json")
+
+
+if __name__ == "__main__":
+    main()
