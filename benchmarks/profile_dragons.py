@@ -28,12 +28,19 @@ from raytracer_tpu.camera import ray_grid
 REF = Path("/root/reference/samples")
 
 
+def _force(x):
+    """Materialize on host. block_until_ready alone returns before the
+    remote-TPU transport has finished on the axon backend (measured:
+    0.000 s 'frames'); an np.asarray round-trip is the reliable fence."""
+    return jax.tree.map(lambda a: np.asarray(a), x)
+
+
 def med(fn, iters):
-    fn()  # compile
+    _force(fn())  # compile
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _force(fn())
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]
 

@@ -235,6 +235,59 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     )
 
 
+def _packed_shade_level(scene: T.Scene, o, d, w, key):
+    """shade_level with live rays compacted to the front, run at the
+    narrowest width (R, R/4, R/16) that holds them.
+
+    Deep wavefront levels are mostly parked, but every dense [R, ...]
+    op (static trace, candidate table, gathers, Phong) still costs full
+    width — measured 0.41 s of a 0.60 s dragons frame was levels 1-4 at
+    1-24% live rays. Per-ray results are independent of batch order and
+    grouping (the mesh kernel's gates are conservative), so a stable
+    live-first permutation + a narrower batch is EXACT; the tail is
+    parked padding. Branch selection is a lax.cond chain, so each tile
+    pays only for the width its level actually needs.
+    """
+    r = o.shape[0]
+    live = jnp.any(w > 0.0, -1)
+    n_live = jnp.sum(live.astype(jnp.int32))
+    order = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int8), stable=True)
+    inv_order = jnp.argsort(order)
+    o_s, d_s, w_s = o[order], d[order], w[order]
+    po = jnp.asarray(PARK_ORIGIN, o.dtype)
+    pd = jnp.asarray(PARK_DIR, d.dtype)
+
+    def run(width):
+        def branch(_):
+            colored, refl, refr = shade_level(
+                scene, o_s[:width], d_s[:width], w_s[:width], key
+            )
+
+            def pad(x, fill):
+                if width == r:
+                    return x
+                tail = jnp.broadcast_to(fill, (r - width, 3)).astype(x.dtype)
+                return jnp.concatenate([x, tail], 0)
+
+            zero = jnp.zeros(3, colored.dtype)
+            out = [pad(colored, zero)]
+            for so, sd, sw in (refl, refr):
+                out += [pad(so, po), pad(sd, pd), pad(sw, zero)]
+            # undo the live-first permutation
+            return tuple(x[inv_order] for x in out)
+
+        return branch
+
+    args = ()
+    parts = jax.lax.cond(
+        n_live <= r // 16,
+        run(r // 16),
+        lambda a: jax.lax.cond(n_live <= r // 4, run(r // 4), run(r), a),
+        args,
+    )
+    return parts[0], tuple(parts[1:4]), tuple(parts[4:7])
+
+
 def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
     """world.rs:91-99 over a ray batch, bounce tree unrolled."""
     st = scene.static
@@ -256,8 +309,20 @@ def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
             # n1/n2 walk — are pure waste. Exact: a parked level
             # contributes 0 and spawns only zero-weight children. On the
             # dragons scene live tiles thin out fast with depth, so this
-            # recovers most of the deep-level floor.
+            # recovers most of the deep-level floor. Partially-live
+            # levels additionally compact + narrow (_packed_shade_level)
+            # on mesh-heavy scenes, where the per-level fixed costs are
+            # worth a sort (blend-y small scenes keep their levels
+            # mostly live, so the sort would be pure overhead there).
+            pack = (
+                st.counts[5] - st.n_csg_tris > 20000
+                and o.shape[0] >= 4096
+                and o.shape[0] % 16 == 0
+            )
+
             def _live(args):
+                if pack:
+                    return _packed_shade_level(scene, *args)
                 return shade_level(scene, *args)
 
             def _dead(args):

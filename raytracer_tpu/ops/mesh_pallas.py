@@ -265,6 +265,57 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, interpret=False):
     return t[:, 0], g[:, 0], u[:, 0], v[:, 0]
 
 
+def pack_tri_planes_np(p1, e1, e2):
+    """Host-numpy :func:`pack_tri_planes` for scene build time.
+
+    The jnp version runs eagerly op-by-op over the device transport —
+    ~22 s of a 1M-triangle scene build was pad/transpose round trips.
+    Same layout, same values; the builder uploads the result once.
+    """
+    import numpy as np
+
+    nt = p1.shape[0]
+    pad = -nt % (CHUNK * SG)
+    n_total = nt + pad
+    nc = n_total // CHUNK
+    n_super = nc // SG
+
+    def f(x):
+        out = np.zeros((n_total, 3), np.float32)
+        out[:nt] = x
+        return out
+
+    p1p, e1p, e2p = f(p1), f(e1), f(e2)
+
+    def planes(x):
+        return x.reshape(nc, CHUNK, 3).transpose(0, 2, 1)
+
+    # explicit zeros + slice-assign: np.pad of the 3-D middle axis and a
+    # fancy concatenate both hit slow strided numpy paths at this size
+    tri = np.zeros((nc, ROWS, CHUNK), np.float32)
+    tri[:, 0:3] = planes(p1p)
+    tri[:, 3:6] = planes(e1p)
+    tri[:, 6:9] = planes(e2p)
+    tri = tri.reshape(n_super, SG * ROWS, CHUNK)
+
+    v0 = p1p.reshape(nc, CHUNK, 3)
+    v1 = (p1p + e1p).reshape(nc, CHUNK, 3)
+    v2 = (p1p + e2p).reshape(nc, CHUNK, 3)
+    real = (np.arange(n_total) < nt).reshape(nc, CHUNK, 1)
+    big = np.float32(3e38)
+    lo = np.where(real, np.minimum(np.minimum(v0, v1), v2), big)
+    hi = np.where(real, np.maximum(np.maximum(v0, v1), v2), -big)
+    bb_min = lo.min(axis=1)
+    bb_max = hi.max(axis=1)
+    bb_chunk = np.concatenate([bb_min, bb_max], axis=1).T
+    sb_min = bb_min.reshape(n_super, SG, 3).min(axis=1)
+    sb_max = bb_max.reshape(n_super, SG, 3).max(axis=1)
+    bb_super = np.concatenate([sb_min, sb_max], axis=1).T
+    return tri, (
+        np.ascontiguousarray(bb_chunk), np.ascontiguousarray(bb_super)
+    )
+
+
 def pack_tri_planes(p1, e1, e2):
     """[Nt,3] x3 -> (tri_planes [n_super, SG*ROWS, CHUNK],
     (bb_chunk [6, n_chunks], bb_super [6, n_super])).

@@ -26,7 +26,8 @@ def _morton_keys(w: np.ndarray) -> np.ndarray:
     """Vectorized Morton codes of world-space points [N, 3]."""
     # quantize into a fixed [-64, 64) world window (plenty for the book
     # scenes; out-of-window triangles clamp — ordering only affects perf)
-    q = np.clip(((w + 64.0) / 128.0 * 1024.0).astype(np.int64), 0, 1023)
+    q = ((w + 64.0) * (1024.0 / 128.0)).astype(np.int64)
+    q = np.minimum(np.maximum(q, 0), 1023)  # int np.clip is ~10x slower
 
     def spread(v):
         v = v & 0x3FF
@@ -207,41 +208,87 @@ class _Builder:
     # --- finish -----------------------------------------------------------
 
     def _triangle_batches(self):
-        """Unified per-triangle arrays from individual rows + mesh blocks.
+        """Unified per-triangle arrays from individual rows + mesh blocks,
+        with the geometry already in world space.
 
-        Returns a dict of arrays: m [Nt,4,4], p [Nt,3,3] (object space),
-        n [Nt,3,3], smooth [Nt], mat [Nt,NCOLS], pattern_id [Nt],
-        shadow [Nt], csg_under [Nt], csg_left [Nt]. Individual CSG rows
-        come first (dense candidate columns need them leading).
+        World transforms and normal-matrix products run per SOURCE (one
+        GEMM per mesh block) — materializing a per-triangle [Nt,4,4]
+        matrix table and einsum-ing it cost ~60 s of a 1M-triangle scene
+        build. Returns a dict of arrays: w [Nt,3,3] world corners,
+        n_world [Nt,3,3] world-space (unnormalized) vertex normals,
+        flat [Nt,3] unit world flat normals, smooth [Nt], mat
+        [Nt,NCOLS], pattern_id [Nt], shadow [Nt], csg_under [Nt],
+        csg_left [Nt], tf_id [Nt]; plus src_m [n_tf,4,4] source
+        matrices. Individual CSG rows come first (dense candidate
+        columns need them leading).
         """
+
+        def world_geometry(p, n, smooth, m):
+            """World corners / vertex normals / flat normal for one
+            source matrix m (triangle.rs:32-48 flat-normal semantics:
+            object-space normalize(e2 x e1), then the normal matrix,
+            then a final normalize)."""
+            rot = np.ascontiguousarray(m[:3, :3], np.float32)
+            trans = m[:3, 3].astype(np.float32)
+            nm = np.linalg.inv(m.astype(np.float64)).T[:3, :3].astype(np.float32)
+            nt = p.shape[0]
+            w = (p.reshape(-1, 3) @ rot.T + trans).reshape(nt, 3, 3)
+            e1o = p[:, 1] - p[:, 0]
+            e2o = p[:, 2] - p[:, 0]
+            n_obj = np.cross(e2o, e1o)
+            n_obj /= np.maximum(
+                np.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-30
+            )
+            flat = n_obj @ nm.T
+            flat /= np.maximum(
+                np.linalg.norm(flat, axis=-1, keepdims=True), 1e-30
+            )
+            # np.where with a [n,1,1] broadcast mask hits a ~30x-slow
+            # numpy path on [n,3,3] operands; explicit boolean-index
+            # assignment is a plain memcpy per side.
+            n_world = np.repeat(
+                flat[:, None, :], 3, axis=1
+            ).astype(np.float32, copy=False)
+            if smooth.any():
+                sm_n = (n[smooth].reshape(-1, 3) @ nm.T).reshape(-1, 3, 3)
+                n_world[smooth] = sm_n
+            return w.astype(np.float32), n_world, flat.astype(np.float32)
+
         batches = []
+        src_ms = []
         rows = sorted(
             self.rows["triangle"], key=lambda r: 0 if r["csg_under"] else 1
         )
-        if rows:
+        for i, r in enumerate(rows):
+            m = np.asarray(r["m"], np.float64)
+            p = np.asarray(r["p"], np.float32)[None]
+            n = (np.asarray(r["n"], np.float32)
+                 if r["smooth"] else np.zeros((3, 3), np.float32))[None]
+            smooth = np.array([bool(r["smooth"])])
+            w, n_world, flat = world_geometry(p, n, smooth, m)
+            src_ms.append(m)
             batches.append(dict(
-                m=np.stack([r["m"] for r in rows]).astype(np.float32),
-                p=np.stack([np.asarray(r["p"], np.float32) for r in rows]),
-                n=np.stack([
-                    np.asarray(r["n"], np.float32) if r["smooth"]
-                    else np.zeros((3, 3), np.float32) for r in rows
-                ]),
-                smooth=np.array([bool(r["smooth"]) for r in rows]),
-                mat=np.stack([r["mat"] for r in rows]),
-                pattern_id=np.array([r["pattern_id"] for r in rows], np.int32),
-                shadow=np.array([r["shadow"] for r in rows], bool),
-                csg_under=np.array([r["csg_under"] for r in rows], np.int64),
-                csg_left=np.array([r["csg_left"] for r in rows], np.int64),
-                # one transform row per individual triangle
-                tf_id=np.arange(len(rows), dtype=np.int32),
+                w=w, n_world=n_world, flat=flat, smooth=smooth,
+                mat_src=r["mat"],
+                pattern_id=np.array([r["pattern_id"]], np.int32),
+                shadow=np.array([r["shadow"]], bool),
+                csg_under=np.array([r["csg_under"]], np.int64),
+                csg_left=np.array([r["csg_left"]], np.int64),
+                tf_id=np.array([i], np.int32),
             ))
         n_rows = len(rows)
         for bi, blk in enumerate(self.mesh_blocks):
             n = blk["p"].shape[0]
+            m = np.asarray(blk["m"], np.float64)
+            w, n_world, flat = world_geometry(
+                np.asarray(blk["p"], np.float32),
+                np.asarray(blk["n"], np.float32),
+                blk["smooth"], m,
+            )
+            src_ms.append(m)
             batches.append(dict(
-                m=np.broadcast_to(blk["m"], (n, 4, 4)),
-                p=blk["p"], n=blk["n"], smooth=blk["smooth"],
-                mat=np.broadcast_to(blk["mat"], (n, T.MAT_NCOLS)),
+                w=w, n_world=n_world, flat=flat, smooth=blk["smooth"],
+                mat_src=blk["mat"],
                 pattern_id=np.full(n, blk["pattern_id"], np.int32),
                 shadow=np.full(n, blk["shadow"], bool),
                 csg_under=np.zeros(n, np.int64),
@@ -251,20 +298,20 @@ class _Builder:
             ))
         if not batches:
             return None
-        keys = ("m", "p", "n", "smooth", "mat", "pattern_id", "shadow",
-                "csg_under", "csg_left", "tf_id")
-        return {k: np.concatenate([b[k] for b in batches]) for k in keys}
+        keys = ("w", "n_world", "flat", "smooth", "pattern_id",
+                "shadow", "csg_under", "csg_left", "tf_id")
+        out = {k: np.concatenate([b[k] for b in batches]) for k in keys}
+        out["src_m"] = np.stack(src_ms)
+        out["mat_src"] = np.stack([b["mat_src"] for b in batches])
+        return out
 
     def finish(self, *, jitter, top_k, recursion_limit) -> T.Scene:
         tb = self._triangle_batches()
-        nt = 0 if tb is None else tb["p"].shape[0]
+        nt = 0 if tb is None else tb["w"].shape[0]
         n_csg_tris = 0 if tb is None else int((tb["csg_under"] != 0).sum())
 
         if tb is not None:
-            # world-space corners (needed for Morton keys and the SoA)
-            w = np.einsum(
-                "nij,nkj->nki", tb["m"][:, :3, :3], tb["p"]
-            ) + tb["m"][:, None, :3, 3]
+            w = tb["w"]
             # Morton-order the free triangles by world-space centroid so
             # the renderer's fixed-size scan chunks are spatially tight —
             # that's what makes chunk-AABB culling effective (the
@@ -275,8 +322,11 @@ class _Builder:
                     np.arange(n_csg_tris),
                     n_csg_tris + np.argsort(keys, kind="stable"),
                 ])
-                tb = {k: v[order] for k, v in tb.items()}
-                w = w[order]
+                tb = {
+                    k: (v if k in ("src_m", "mat_src") else v[order])
+                    for k, v in tb.items()
+                }
+                w = tb["w"]
 
         counts = tuple(
             len(self.rows[f]) if f != "triangle" else nt for f in T.FAMILIES
@@ -287,7 +337,26 @@ class _Builder:
         g_nt = len(all_rows)          # non-triangle gid count
         g = g_nt + nt
 
-        mat = np.zeros((max(g, 1), T.MAT_NCOLS), np.float32)
+        # Materials dedup at SOURCE granularity: non-triangle rows plus one
+        # row per triangle source. np.unique(axis=0) over the old per-gid
+        # [G, NCOLS] table sorted a million rows (~10 s of a dragons-scale
+        # build) to discover what the sources already knew.
+        mat_rows_nt = (
+            np.stack([r["mat"] for r in all_rows]).astype(np.float32)
+            if all_rows else np.zeros((0, T.MAT_NCOLS), np.float32)
+        )
+        mat_src = (
+            tb["mat_src"].astype(np.float32) if tb is not None
+            else np.zeros((0, T.MAT_NCOLS), np.float32)
+        )
+        all_mat = np.concatenate([mat_rows_nt, mat_src])
+        if not len(all_mat):
+            all_mat = np.zeros((1, T.MAT_NCOLS), np.float32)
+        mat_table, src_mat_id = np.unique(all_mat, axis=0, return_inverse=True)
+        src_mat_id = src_mat_id.reshape(-1).astype(np.int32)
+        mat_id = np.zeros(max(g, 1), np.int32)
+        if g_nt:
+            mat_id[:g_nt] = src_mat_id[:g_nt]
         pattern_id = np.full(max(g, 1), -1, np.int32)
         shadow = np.ones(max(g, 1), bool)
         # non-triangle rows + one row per triangle SOURCE (individual
@@ -298,7 +367,6 @@ class _Builder:
         csg_members = []
 
         if g_nt:
-            mat[:g_nt] = np.stack([r["mat"] for r in all_rows])
             pattern_id[:g_nt] = [r["pattern_id"] for r in all_rows]
             shadow[:g_nt] = [r["shadow"] for r in all_rows]
             m_all = np.stack([r["m"] for r in all_rows]).astype(np.float64)
@@ -320,48 +388,27 @@ class _Builder:
         cyl_min, cyl_max, cyl_closed = _mm("cylinder")
         cone_min, cone_max, cone_closed = _mm("cone")
 
-        # triangles -> world space (fully batched: meshes reach 1e6 rows)
+        # triangles (already world-space; see _triangle_batches)
         if nt:
-            mat[g_nt:g] = tb["mat"]
+            mat_id[g_nt:g] = src_mat_id[g_nt + tb["tf_id"]]
             pattern_id[g_nt:g] = tb["pattern_id"]
             shadow[g_nt:g] = tb["shadow"]
-            # per-SOURCE inverse/normal matrices (first occurrence of each
-            # tf id carries the source matrix), then expand per triangle
-            uniq, first = np.unique(tb["tf_id"], return_index=True)
-            src_m = np.zeros((n_tf, 4, 4), np.float64)
-            src_m[uniq] = tb["m"][first]
-            inv_src = np.linalg.inv(src_m).astype(np.float32)
-            nm_src = inv_src.transpose(0, 2, 1)[:, :3, :3]
+            inv_src = np.linalg.inv(tb["src_m"]).astype(np.float32)
             inv_tf[g_nt : g_nt + n_tf] = inv_src
-            normal_mat[g_nt : g_nt + n_tf] = nm_src
-            nm_t = nm_src[tb["tf_id"]]
+            normal_mat[g_nt : g_nt + n_tf] = inv_src.transpose(0, 2, 1)[:, :3, :3]
             for i in np.nonzero(tb["csg_under"])[0]:
                 csg_members.append((
                     g_nt + int(i), int(tb["csg_under"][i]), int(tb["csg_left"][i])
                 ))
 
-            tri_p1 = w[:, 0].astype(np.float32)
-            tri_e1 = (w[:, 1] - w[:, 0]).astype(np.float32)
-            tri_e2 = (w[:, 2] - w[:, 0]).astype(np.float32)
-            # flat normal: object-space normalize(e2 x e1) (triangle.rs:32-48)
-            # then through the normal matrix, final normalize.
-            p_t = tb["p"]
-            e1o = p_t[:, 1] - p_t[:, 0]
-            e2o = p_t[:, 2] - p_t[:, 0]
-            n_obj = np.cross(e2o, e1o)
-            n_obj /= np.maximum(np.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-30)
-            n_w = np.einsum("nij,nj->ni", nm_t, n_obj)
-            tri_flat = (
-                n_w / np.maximum(np.linalg.norm(n_w, axis=-1, keepdims=True), 1e-30)
-            ).astype(np.float32)
-            tri_smooth = tb["smooth"]
-            n_world = np.einsum("nij,nkj->nki", nm_t, tb["n"]).astype(np.float32)
-            sm = tri_smooth[:, None]
-            tri_n = [
-                np.where(sm, n_world[:, k], tri_flat) for k in range(3)
-            ]
+            tri_p1 = np.ascontiguousarray(w[:, 0])
+            tri_e1 = w[:, 1] - w[:, 0]
+            tri_e2 = w[:, 2] - w[:, 0]
+            # n_world already holds the flat normal for non-smooth rows
+            n_world = tb["n_world"]
             tri_shade = np.concatenate(
-                tri_n + [tri_flat, tri_smooth[:, None].astype(np.float32)],
+                [n_world[:, 0], n_world[:, 1], n_world[:, 2], tb["flat"],
+                 tb["smooth"][:, None].astype(np.float32)],
                 axis=1,
             ).astype(np.float32)
             tri_tf_id = tb["tf_id"].astype(np.int32)
@@ -421,16 +468,18 @@ class _Builder:
             images = np.zeros((1, 1, 1, 3), np.float32)
             image_wh = np.ones((1, 2), np.int32)
 
-        has_reflective = bool((mat[:g, T.MAT_REFLECTIVE] != 0).any()) if g else False
-        has_transparency = bool((mat[:g, T.MAT_TRANSPARENCY] != 0).any()) if g else False
+        used = mat_table[src_mat_id] if g else mat_table[:0]
+        has_reflective = bool((used[:, T.MAT_REFLECTIVE] != 0).any())
+        has_transparency = bool((used[:, T.MAT_TRANSPARENCY] != 0).any())
         has_blend = bool(
-            ((mat[:g, T.MAT_REFLECTIVE] != 0)
-             & (mat[:g, T.MAT_TRANSPARENCY] != 0)).any()
-        ) if g else False
+            ((used[:, T.MAT_REFLECTIVE] != 0)
+             & (used[:, T.MAT_TRANSPARENCY] != 0)).any()
+        )
         # free (non-CSG) triangles with a transparent material need the
         # nearest-behind candidate column (intersect.candidate_hits)
+        transp = mat_table[:, T.MAT_TRANSPARENCY] != 0
         mesh_transparent = bool(
-            (mat[g_nt + n_csg_tris : g, T.MAT_TRANSPARENCY] != 0).any()
+            transp[mat_id[g_nt + n_csg_tris : g]].any()
         ) if nt - n_csg_tris > 0 else False
 
         n_candidates = (
@@ -464,11 +513,6 @@ class _Builder:
         def dev(x):
             return jnp.asarray(x)
 
-        # Deduplicate material rows (meshes broadcast one material over all
-        # their triangles): unique [M, NCOLS] table + per-gid i32 id.
-        mat_table, mat_id = np.unique(mat, axis=0, return_inverse=True)
-        mat_id = np.ascontiguousarray(mat_id.reshape(-1).astype(np.int32))
-
         # Precompute the packed mesh acceleration structure once (planes in
         # the Pallas kernel's DMA layout + chunk/supergroup AABBs). Doing
         # this inside the jitted trace re-materialized a 1M-triangle
@@ -479,7 +523,7 @@ class _Builder:
             from raytracer_tpu.ops import mesh_pallas as MP
 
             sl = slice(n_csg_tris, nt)
-            mesh_planes, (mesh_bb_chunk, mesh_bb_super) = MP.pack_tri_planes(
+            mesh_planes, (mesh_bb_chunk, mesh_bb_super) = MP.pack_tri_planes_np(
                 tri_p1[sl], tri_e1[sl], tri_e2[sl]
             )
 

@@ -209,3 +209,44 @@ def test_merged_spawn_matches_concatenated_tree():
         merged = np.asarray(color_at(sc, o, d, limit=limit))
         tree = np.asarray(color_at(sc_tree, o, d, limit=limit))
         np.testing.assert_allclose(merged, tree, rtol=1e-5, atol=1e-6)
+
+
+def test_packed_shade_level_matches_plain():
+    """_packed_shade_level (live-compaction + narrow-width lax.cond) must
+    be EXACTLY shade_level up to the parked tail: identical weighted
+    surface color, identical spawn weights, and identical spawn rays
+    wherever the spawn weight is non-zero (zero-weight spawns are parked
+    by color_at either way). Tolerance is 1-2 ULP: XLA lowers the same
+    per-ray math slightly differently at different batch widths."""
+    from raytracer_tpu.core.render import shade_level, _packed_shade_level
+
+    items = default_items() + [
+        S.Plane(transform=tf.translation(0.0, -1.0, 0.0),
+                material=S.Material(reflective=0.5)),
+    ]
+    sc = build_scene(items)
+
+    r = 4096
+    rng = np.random.default_rng(7)
+    ang = rng.uniform(0.0, 2 * np.pi, r).astype(np.float32)
+    o = jnp.asarray(np.stack([np.sin(ang), 0.3 * np.cos(ang),
+                              np.full(r, -4.0, np.float32)], -1))
+    d = np.stack([0.2 * np.sin(3 * ang), -0.2 * np.cos(2 * ang),
+                  np.ones(r, np.float32)], -1)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    # sparse liveness patterns covering all three width branches
+    for frac in (0.01, 0.2, 0.9):
+        w = np.where(rng.uniform(size=(r, 1)) < frac,
+                     rng.uniform(0.2, 1.0, (r, 3)), 0.0).astype(np.float32)
+        w = jnp.asarray(w)
+        tight = dict(rtol=1e-5, atol=1e-7)
+        col_a, refl_a, refr_a = shade_level(sc, o, d, w, None)
+        col_b, refl_b, refr_b = _packed_shade_level(sc, o, d, w, None)
+        np.testing.assert_allclose(np.asarray(col_a), np.asarray(col_b), **tight)
+        for (ao, ad, aw), (bo, bd, bw) in ((refl_a, refl_b), (refr_a, refr_b)):
+            np.testing.assert_allclose(np.asarray(aw), np.asarray(bw), **tight)
+            live = np.asarray(aw).any(-1)
+            np.testing.assert_allclose(
+                np.asarray(ao)[live], np.asarray(bo)[live], **tight)
+            np.testing.assert_allclose(
+                np.asarray(ad)[live], np.asarray(bd)[live], **tight)
