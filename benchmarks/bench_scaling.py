@@ -49,7 +49,9 @@ from raytracer_tpu.parallel.train import make_sharded_train_step  # noqa: E402
 from raytracer_tpu.core.render import color_at  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
-PER_DEVICE_RAYS = 1 << 12
+# Large enough that per-size timings are compute- not dispatch-dominated
+# (4096 rays ran in ~3 ms on CPU — pure noise).
+PER_DEVICE_RAYS = 1 << 15
 
 
 def flagship_scene():
@@ -64,7 +66,7 @@ def flagship_scene():
     ])
 
 
-def timed(fn, iters=3):
+def timed(fn, iters=5):
     fn()  # warm-up / compile
     ts = []
     for _ in range(iters):
@@ -82,7 +84,7 @@ def main():
     devices = jax.devices()
     mode = "tpu" if jax.default_backend() == "tpu" else "cpu_virtual_smoke"
     scene = flagship_scene()
-    cam = Camera(256, 256, math.pi / 3).with_transform(
+    cam = Camera(512, 512, math.pi / 3).with_transform(
         tf.view_transform((0, 1.5, -5), (0, 1, 0), (0, 1, 0)))
     o_full, d_full = ray_grid(cam)
     o_full = np.asarray(o_full)
@@ -132,6 +134,16 @@ def main():
         last = rows[-1]
         return round(last["rays_per_sec"] / (base * last["devices"]), 3)
 
+    def retention(rows):
+        # Total-throughput retention: on SHARED host cores an n-device
+        # weak-scaling run cannot beat the single-device total (1 device
+        # already saturates every core), so per-device "efficiency" is
+        # capped at 1/n. total_n / total_1 is the number that isolates
+        # the sharding machinery's overhead on this setup.
+        if len(rows) < 2:
+            return None
+        return round(rows[-1]["rays_per_sec"] / rows[0]["rays_per_sec"], 3)
+
     artifact = dict(
         mode=mode,
         backend=jax.default_backend(),
@@ -141,11 +153,17 @@ def main():
         weak_scaling_train_step=rows_train,
         efficiency_forward=efficiency(rows_fwd),
         efficiency_train=efficiency(rows_train),
+        total_throughput_retention_forward=retention(rows_fwd),
+        total_throughput_retention_train=retention(rows_train),
         note=(
-            "cpu_virtual_smoke: the 8 virtual devices share the same host "
-            "cores, so efficiency measures the sharding machinery's "
-            "overhead, not hardware scaling; run on a pod slice for the "
-            "real curve (target >= 0.8 per BASELINE.md)."
+            "cpu_virtual_smoke: the 8 virtual devices SHARE the host's "
+            "physical cores, so per-device weak-scaling efficiency is "
+            "physically capped at n_cores/(n_dev*n_cores) = 1/n_dev here "
+            "(a single device already saturates every core). "
+            "total_throughput_retention_* (sharded total vs single-device "
+            "total) is the machinery-overhead smoke number on this setup; "
+            "run on a pod slice (RAYTRACER_SCALING_TPU=1) for the real "
+            "curve (target >= 0.8 per BASELINE.md)."
             if mode != "tpu" else "real TPU devices over ICI"
         ),
     )
