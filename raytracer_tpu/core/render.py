@@ -311,11 +311,13 @@ def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
             # dragons scene live tiles thin out fast with depth, so this
             # recovers most of the deep-level floor. Partially-live
             # levels additionally compact + narrow (_packed_shade_level)
-            # on mesh-heavy scenes, where the per-level fixed costs are
-            # worth a sort (blend-y small scenes keep their levels
-            # mostly live, so the sort would be pure overhead there).
+            # where the per-level fixed costs are worth a sort: mesh
+            # scenes (trace + gathers) and area-light scenes (the
+            # [R, S] shadow/Phong sample math). Blend-y small scenes
+            # keep their levels mostly live, so the sort would be pure
+            # overhead there.
             pack = (
-                st.counts[5] - st.n_csg_tris > 20000
+                (st.counts[5] - st.n_csg_tris > 20000 or st.area_steps)
                 and o.shape[0] >= 4096
                 and o.shape[0] % 16 == 0
             )
