@@ -251,6 +251,10 @@ def _packed_shade_level(scene: T.Scene, o, d, w, key):
     r = o.shape[0]
     live = jnp.any(w > 0.0, -1)
     n_live = jnp.sum(live.astype(jnp.int32))
+    # Live-first stable key. (Measured: upgrading this to a spatial or
+    # directional Morton regroup of the live rays changes nothing on the
+    # dragons scene — a tile's secondary origins are already screen-
+    # local, so the subtile frusta are as tight as they get.)
     order = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int8), stable=True)
     inv_order = jnp.argsort(order)
     o_s, d_s, w_s = o[order], d[order], w[order]
