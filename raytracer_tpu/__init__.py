@@ -31,6 +31,23 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+# Keep large malloc buffers in the arena instead of mmap/munmap per
+# allocation. numpy hands every >128 KB buffer straight back to the
+# kernel on free, so each scene-compile array re-faults its pages on
+# first touch — on VMs with slow page faults (Firecracker et al.) that
+# measured ~12 MB/s, turning a 1M-triangle scene build into ~40 s of
+# fault handling. Arena reuse makes repeat allocations ~200x faster at
+# the cost of a sticky RSS high-water mark. Opt out: RAYTRACER_MALLOPT=0.
+if _os.environ.get("RAYTRACER_MALLOPT", "1") != "0":
+    try:
+        import ctypes as _ctypes
+
+        _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+        _libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
+        _libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
+    except Exception:  # pragma: no cover - non-glibc platforms
+        pass
+
 from raytracer_tpu.constants import EPSILON
 from raytracer_tpu import transforms
 from raytracer_tpu.camera import Camera

@@ -21,6 +21,43 @@ from raytracer_tpu import native
 from raytracer_tpu.scene import specs as S
 
 
+# source-text -> per-OBJ-group geometry arrays. Instanced scenes (the
+# dragons layout references one OBJ from dozens of groups) re-parse the
+# same file per instance; geometry is material-independent, so one parse
+# serves every instance. Arrays are shared read-only (the builder never
+# mutates spec arrays). Keyed by the full text; tiny LRU.
+_GEOM_CACHE: dict = {}
+_GEOM_CACHE_MAX = 8
+
+
+def _obj_geometry(source: str):
+    got = _GEOM_CACHE.get(source)
+    if got is not None:
+        return got
+    parsed = native.parse_obj_arrays(source)
+    if parsed is None:
+        parsed = _parse_obj_python(source)
+    verts, norms, tri_v, tri_n, tri_g = parsed
+
+    groups = []
+    if len(tri_v):
+        for g in np.unique(tri_g):
+            sel = tri_g == g
+            tv = tri_v[sel]                               # [N,3]
+            tn = tri_n[sel]
+            p = verts[tv]                                 # [N,3,3]
+            smooth = (tn >= 0).all(axis=1)
+            n = np.zeros_like(p)
+            if smooth.any():
+                safe = np.maximum(tn, 0)
+                n = np.where(smooth[:, None, None], norms[safe], 0.0)
+            groups.append((p, n, smooth))
+    if len(_GEOM_CACHE) >= _GEOM_CACHE_MAX:
+        _GEOM_CACHE.pop(next(iter(_GEOM_CACHE)))
+    _GEOM_CACHE[source] = groups
+    return groups
+
+
 def parse_obj(source, material: S.Material | None = None) -> S.Group:
     """Parse OBJ text (str, bytes or file-like) into a Group of Meshes."""
     if hasattr(source, "read"):
@@ -30,24 +67,8 @@ def parse_obj(source, material: S.Material | None = None) -> S.Group:
     if material is None:
         material = S.Material()
 
-    parsed = native.parse_obj_arrays(source)
-    if parsed is None:
-        parsed = _parse_obj_python(source)
-    verts, norms, tri_v, tri_n, tri_g = parsed
-
     out = S.Group()
-    if len(tri_v) == 0:
-        return out
-    for g in np.unique(tri_g):
-        sel = tri_g == g
-        tv = tri_v[sel]                                   # [N,3]
-        tn = tri_n[sel]
-        p = verts[tv]                                     # [N,3,3]
-        smooth = (tn >= 0).all(axis=1)
-        n = np.zeros_like(p)
-        if smooth.any():
-            safe = np.maximum(tn, 0)
-            n = np.where(smooth[:, None, None], norms[safe], 0.0)
+    for p, n, smooth in _obj_geometry(source):
         out.children.append(
             S.Mesh(p=p, n=n, smooth=smooth, material=material)
         )
