@@ -54,6 +54,26 @@ mesh = make_host_mesh()
 assert mesh.devices.shape == (nproc, 4)
 img = render_sharded(scene, cam, mesh)
 np.save(os.path.join(out_dir, "img_%d.npy" % pid), img)
+
+# one distributed training step: rays sharded over (hosts, chips),
+# scene replicated, grad psum over both mesh axes (ICI then DCN)
+import jax.numpy as jnp
+from raytracer_tpu.camera import ray_grid
+from raytracer_tpu.parallel.mesh import replicate_scene, shard_rays
+from raytracer_tpu.parallel.train import make_sharded_train_step
+
+o, d = ray_grid(cam)
+o, d, n = shard_rays(jnp.asarray(o), jnp.asarray(d), mesh)
+scene_r = replicate_scene(scene, mesh)
+target = jax.device_put(
+    jnp.zeros((o.shape[0], 3)),
+    jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(mesh.axis_names)),
+)
+step = make_sharded_train_step(mesh, lr=1e-3)
+loss, scene2 = step(scene_r, o, d, target, jax.random.PRNGKey(0))
+np.save(os.path.join(out_dir, "loss_%d.npy" % pid),
+        np.asarray(loss, np.float64))
 """
 
 
@@ -84,6 +104,12 @@ def test_two_process_multihost_render(tmp_path):
     # every host assembles the SAME full image
     np.testing.assert_array_equal(img0, img1)
     assert img0.shape == (32, 64, 3) and np.isfinite(img0).all()
+
+    # the distributed train step psums to the same finite loss everywhere
+    loss0 = np.load(tmp_path / "loss_0.npy")
+    loss1 = np.load(tmp_path / "loss_1.npy")
+    np.testing.assert_array_equal(loss0, loss1)
+    assert np.isfinite(loss0).all() and loss0 > 0.0
 
     # and it matches the single-process renderer
     import math
