@@ -87,7 +87,7 @@ def main():
 
     # stage: behind scan
     if st.mesh_transparent:
-        f_beh = jax.jit(lambda o, d: I._tri_behind_scan(
+        f_beh = jax.jit(lambda o, d: I._tri_behind(
             scene, o, d, st.n_csg_tris, nt_free))
         t_beh = med(lambda: f_beh(origins, directions), iters)
         print(f"behind scan (1 trace):     {t_beh*1e3:8.2f} ms")

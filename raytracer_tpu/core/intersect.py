@@ -292,6 +292,31 @@ def _free_chunk_bbs(scene: T.Scene, start, p1, e1, e2):
     return bb_min, bb_max
 
 
+def _tri_behind(scene: T.Scene, origins, directions, start, count):
+    """The free-triangle entry with the LARGEST t <= 0 (nearest behind
+    the ray origin); feeds the n1/n2 container walk for transparent
+    meshes (see candidate_hits).
+
+    On TPU this IS the nearest-hit query on the REVERSED ray: negating d
+    negates the Moller-Trumbore determinant and leaves u, v and the
+    numerators unchanged, so t reverses sign EXACTLY in f32 — the
+    nearest t' > 0 of (o, -d) is -t for the largest t < 0 of (o, d).
+    One Pallas trace replaces a per-chunk lax.scan (wall-clock parity at
+    measured scales — the scan's line-AABB culling is effective — but
+    one code path serves both queries and the kernel's parked-ray and
+    supergroup gates apply). Boundary delta vs the scan path: an
+    intersection at exactly t == 0 (triangle passing through the ray
+    origin itself — the origin is already EPSILON-offset off every
+    surface) is excluded here and included by the scan.
+    """
+    if jax.default_backend() == "tpu" and count >= 4 * TRI_CHUNK:
+        t, gid, _, _ = _tri_free_nearest_pallas(
+            scene, origins, -directions, start, count
+        )
+        return jnp.where(jnp.isfinite(t), -t, -INF), gid
+    return _tri_behind_scan(scene, origins, directions, start, count)
+
+
 def _tri_behind_scan(scene: T.Scene, origins, directions, start, count):
     """The free-triangle entry with the LARGEST t <= 0 (nearest behind the
     ray origin), chunked scan with line-AABB culling.
@@ -458,7 +483,7 @@ def candidate_hits(scene: T.Scene, origins, directions):
         )
         cols_t, cols_g, cols_u, cols_v = [ft], [fg], [fu], [fv]
         if st.mesh_transparent:
-            bt, bg = _tri_behind_scan(scene, origins, directions, nt_csg, nt_free)
+            bt, bg = _tri_behind(scene, origins, directions, nt_csg, nt_free)
             cols_t.append(bt)
             cols_g.append(bg)
             cols_u.append(jnp.zeros_like(bt))

@@ -79,3 +79,38 @@ def test_precomputed_pack_matches_inline():
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6, err_msg=name
         )
     assert bool(np.asarray(pre[0]).any())
+
+
+def test_reversed_ray_is_behind_query():
+    """The TPU nearest-behind path (intersect._tri_behind) is the Pallas
+    nearest-hit of the REVERSED ray with t negated: Moller-Trumbore's t
+    flips sign exactly under d -> -d. Verify (interpret mode) against
+    the lax.scan behind oracle on rays positioned INSIDE a triangle
+    cloud so both signs of t are populated."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    nt = 700
+    p1 = jnp.asarray(rng.uniform(-3, 3, (nt, 3)), jnp.float32)
+    e1 = jnp.asarray(rng.normal(0, 0.5, (nt, 3)), jnp.float32)
+    e2 = jnp.asarray(rng.normal(0, 0.5, (nt, 3)), jnp.float32)
+    r = RT
+    o = jnp.asarray(rng.uniform(-2, 2, (r, 3)), jnp.float32)
+    d = rng.normal(0, 1, (r, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+
+    tri, bb = pack_tri_planes(p1, e1, e2)
+    t_rev, g_rev, _, _ = mesh_nearest(o, -d, tri, bb, interpret=True)
+    bt = jnp.where(jnp.isfinite(t_rev), -t_rev, -jnp.inf)
+
+    # oracle: largest strictly-negative t per ray
+    ts, _, _ = _tri_moller_trumbore(o, d, p1, e1, e2)
+    ts = jnp.where((ts < 0.0) & jnp.isfinite(ts), ts, -jnp.inf)
+    j = jnp.argmax(ts, axis=1)
+    bt_ref = jnp.take_along_axis(ts, j[:, None], 1)[:, 0]
+
+    have = np.isfinite(np.asarray(bt_ref))
+    assert have.sum() > 50
+    assert np.allclose(np.asarray(bt)[have], np.asarray(bt_ref)[have], rtol=1e-5)
+    assert (np.asarray(g_rev)[have] == np.asarray(j)[have]).mean() > 0.999
+    assert not np.isfinite(np.asarray(bt)[~have]).any()
