@@ -35,7 +35,10 @@ scene = build_scene([
     PointLight(position=(-10.0, 10.0, -10.0)),
     floor, left_wall, right_wall, middle, right, left,
 ])
-camera = Camera(1280, 720, math.pi / 3).with_transform(
+# RAYTRACER_EXAMPLE_SIZE=WxH renders small (used by the smoke tests)
+import os
+_w, _h = map(int, os.environ.get("RAYTRACER_EXAMPLE_SIZE", "1280x720").split("x"))
+camera = Camera(_w, _h, math.pi / 3).with_transform(
     tf.view_transform((0.0, 1.5, -5.0), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
 )
 img = render(scene, camera)

@@ -39,7 +39,10 @@ scene = build_scene([
     PointLight(position=(-10.0, 10.0, -10.0)),
     Csg(op="difference", left=outer, right=inner),
 ])
-camera = Camera(1280, 720, PI / 3).with_transform(
+# RAYTRACER_EXAMPLE_SIZE=WxH renders small (used by the smoke tests)
+import os
+_w, _h = map(int, os.environ.get("RAYTRACER_EXAMPLE_SIZE", "1280x720").split("x"))
+camera = Camera(_w, _h, PI / 3).with_transform(
     tf.view_transform((0.0, 1.5, -5.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
 )
 img = render(scene, camera)
