@@ -1,0 +1,104 @@
+"""CPU vs TPU differential fuzz: random full-feature scenes must render
+the same image on both backends.
+
+The CPU lowering is the reference-validated path (the whole unit suite
+and the golden band tests run there); the TPU lowering adds the Pallas
+kernel, the MXU one-hot gathers and different fusion/rounding choices.
+Rendering N seeded random scenes on both and comparing quantized u8
+pixels catches TPU-specific lowering bugs that scene-specific goldens
+would miss. Knife-edge pixels (a t-comparison flipping between
+backends) are expected — the gate is a per-scene mismatch budget, not
+exactness.
+
+Usage: python benchmarks/fuzz_differential.py [--seeds 12]
+Writes FUZZ_DIFF.json at the repo root when run on a TPU backend.
+"""
+
+import json
+import math
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from raytracer_tpu import transforms as tf  # noqa: E402
+from raytracer_tpu.camera import Camera  # noqa: E402
+from raytracer_tpu.canvas import quantize_u8  # noqa: E402
+from raytracer_tpu.core.render import color_at  # noqa: E402
+from raytracer_tpu.scene import specs as S  # noqa: E402
+from raytracer_tpu.scene.builder import build_scene  # noqa: E402
+
+from test_fuzz import random_shape  # noqa: E402  (the suite's generator)
+
+
+def random_scene(seed):
+    rng = np.random.default_rng(seed)
+    items = [S.PointLight(position=tuple(rng.uniform(-10, 10, 3)))]
+    if seed % 3 == 0:
+        items.append(S.AreaLight(
+            corner=tuple(rng.uniform(-5, 5, 3)),
+            uvec=(2.0, 0.0, 0.0), vvec=(0.0, 2.0, 0.0),
+            usteps=3, vsteps=3,
+        ))
+    for _ in range(int(rng.integers(3, 8))):
+        items.append(random_shape(rng))
+    # deterministic jitter so both backends draw identical samples
+    return build_scene(items, jitter=(0.5,), recursion_limit=3)
+
+
+def render_on(device, scene, o, d):
+    scene_d = jax.device_put(scene, device)
+    o_d = jax.device_put(o, device)
+    d_d = jax.device_put(d, device)
+    img = jax.jit(color_at, device=device, static_argnums=(4,))(
+        scene_d, o_d, d_d, None, 3
+    )
+    return quantize_u8(np.asarray(img))
+
+
+def main():
+    n_seeds = 12
+    if "--seeds" in sys.argv:
+        n_seeds = int(sys.argv[sys.argv.index("--seeds") + 1])
+
+    cam = Camera(64, 48, math.pi / 3).with_transform(
+        tf.view_transform((0, 2.0, -8.0), (0, 0.5, 0), (0, 1, 0)))
+    from raytracer_tpu.camera import ray_grid
+    o, d = ray_grid(cam)
+    o, d = np.asarray(o), np.asarray(d)
+
+    tpu = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    print(f"backends: {tpu.platform} vs {cpu.platform}")
+
+    results = []
+    worst = 0.0
+    for seed in range(1, n_seeds + 1):
+        scene = random_scene(seed)
+        a = render_on(tpu, scene, o, d)
+        b = render_on(cpu, scene, o, d)
+        diff = np.abs(a.astype(int) - b.astype(int)).max(-1)
+        mismatch = float((diff > 1).mean())
+        worst = max(worst, mismatch)
+        results.append(dict(seed=seed, mismatch_gt1_pct=round(mismatch * 100, 3),
+                            maxdiff=int(diff.max())))
+        print(results[-1])
+        assert mismatch <= 0.005, f"seed {seed}: {mismatch:.4f} > 0.5% budget"
+
+    if tpu.platform != "cpu":
+        (REPO / "FUZZ_DIFF.json").write_text(json.dumps(dict(
+            seeds=n_seeds, resolution="64x48", budget_pct=0.5,
+            worst_mismatch_pct=round(worst * 100, 3), scenes=results,
+        ), indent=2))
+        print("wrote FUZZ_DIFF.json")
+
+
+if __name__ == "__main__":
+    main()
