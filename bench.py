@@ -173,7 +173,7 @@ def main():
         }))
         return
 
-    dragons, cam, scene, dt = bench_dragons(3)
+    dragons, cam, scene, dt = bench_dragons(5)
     flagship = bench_flagship(5)
     soft = bench_soft_shadows(3)
     roof = roofline_estimate(cam, scene, dt)
