@@ -109,12 +109,16 @@ def render_sharded(scene: T.Scene, camera, mesh: Mesh | None = None, *,
 
     ``multihost`` (auto-detected): on a multi-process runtime each host
     materializes only its addressable shard of every tile
-    (jax.make_array_from_callback — the ray grid is computed identically
-    on every host, so no cross-host transfer happens), and the final
-    image is assembled with a process allgather over DCN.
+    (jax.make_array_from_callback — the pixel-id tiles are computed
+    identically on every host, so no cross-host transfer happens), and
+    the final image is assembled with a process allgather over DCN.
+
+    Rays are generated ON DEVICE from the inverse camera matrix and
+    sharded pixel-id tiles (core.render.tile_rays) — the host ships
+    4 bytes per ray instead of 24, and each device derives exactly its
+    own shard's rays.
     """
-    from raytracer_tpu.camera import ray_grid
-    from raytracer_tpu.core.render import _block_order
+    from raytracer_tpu.core.render import _block_order, camera_consts, tile_rays as _tile_rays
 
     if mesh is None:
         mesh = make_mesh()
@@ -125,27 +129,25 @@ def render_sharded(scene: T.Scene, camera, mesh: Mesh | None = None, *,
     n_dev = mesh.devices.size
     if tile_rays is None:
         n_free_tris = scene.static.counts[5] - scene.static.n_csg_tris
-        per_dev = 1 << 13 if n_free_tris > 20000 else 1 << 16
+        per_dev = 1 << 12 if n_free_tris > 20000 else 1 << 16
         tile_rays = per_dev * n_dev
 
-    origins, directions = ray_grid(camera)
-    n = origins.shape[0]
+    n = camera.vsize * camera.hsize
     tile = min(tile_rays, n)
     order = _block_order(
         camera.vsize, camera.hsize, max(int((tile // n_dev) ** 0.5), 1)
     )
-    origins = np.asarray(origins)[order]
-    directions = np.asarray(directions)[order]
     n_pad = -n % tile
-    if n_pad:
-        origins = np.pad(origins, ((0, n_pad), (0, 0)))
-        directions = np.pad(
-            directions, ((0, n_pad), (0, 0)), constant_values=1.0
-        )
+    padded = (np.pad(order, (0, n_pad)) if n_pad else order).astype(np.int32)
 
     scene = replicate_scene(scene, mesh)
     ray_sh = NamedSharding(mesh, P(mesh.axis_names))
+    rep_sh = NamedSharding(mesh, P())
+    inv, consts = camera_consts(camera)
+    inv = jax.device_put(inv, rep_sh)
+    consts = jax.device_put(consts, rep_sh)
     limit = scene.static.recursion_limit
+    hsize = camera.hsize
 
     def to_device(x):
         if multihost:
@@ -155,17 +157,17 @@ def render_sharded(scene: T.Scene, camera, mesh: Mesh | None = None, *,
         return jax.device_put(jnp.asarray(x), ray_sh)
 
     @jax.jit
-    def run(scene, o, d, key):
-        o = jax.lax.with_sharding_constraint(o, ray_sh)
-        d = jax.lax.with_sharding_constraint(d, ray_sh)
+    def run(scene, inv, consts, idx, key):
+        idx = jax.lax.with_sharding_constraint(idx, ray_sh)
+        o, d = _tile_rays(inv, consts, idx, hsize)
         img = color_at(scene, o, d, key, limit)
         return jax.lax.with_sharding_constraint(img, ray_sh)
 
     parts = []
     for i in range(0, n + n_pad, tile):
         tkey = jax.random.fold_in(key, i)
-        parts.append(run(scene, to_device(origins[i : i + tile]),
-                         to_device(directions[i : i + tile]), tkey))
+        parts.append(run(scene, inv, consts,
+                         to_device(padded[i : i + tile]), tkey))
     if multihost:
         from jax.experimental import multihost_utils
 
