@@ -148,3 +148,31 @@ def make_sharded_train_step(mesh: Mesh, *, lr=1e-2):
         return loss, recombine(new_params)
 
     return step
+
+
+def with_prim_transform(scene: T.Scene, gid: int, matrix):
+    """Scene with primitive ``gid``'s world transform replaced,
+    DIFFERENTIABLY: the world->object inverse and the normal matrix are
+    recomputed from ``matrix`` inside the trace, so ``jax.grad`` w.r.t.
+    the 4x4 (or a pose parameterization producing it) stays consistent —
+    the raw-table alternative desyncs inv_tf from normal_mat (see
+    DERIVED_GEOMETRY).
+
+    Non-triangle primitives only (a mesh's vertices are pre-transformed
+    to world space at build; reposing a mesh needs a scene rebuild).
+    ``gid`` is the primitive's global id — for a single-shape family use
+    ``sum(static.counts[:family_index]) + index_in_family``.
+    """
+    g_nt = sum(scene.static.counts[:5])
+    if not 0 <= gid < g_nt:
+        raise ValueError(
+            f"gid {gid} is not a non-triangle primitive (0..{g_nt - 1})"
+        )
+    matrix = jnp.asarray(matrix, jnp.float32)
+    inv = jnp.linalg.inv(matrix)
+    nm = jnp.transpose(inv)[:3, :3]
+    return dataclasses.replace(
+        scene,
+        inv_tf=scene.inv_tf.at[gid].set(inv),
+        normal_mat=scene.normal_mat.at[gid].set(nm),
+    )
