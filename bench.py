@@ -110,6 +110,49 @@ def bench_flagship(iters, hsize=1280, vsize=720):
     )
 
 
+def bench_glass_mesh(iters):
+    """Transparent mesh at scale: 56 glass teapots (353,920 smooth
+    triangles, transparency 0.9 / ri 1.5) — drives the hardest semantic
+    path (free-mesh candidate columns + nearest-behind + n1/n2 walk)
+    through the Pallas kernel at 640x360 depth-4."""
+    import math
+
+    from raytracer_tpu import transforms as tf
+    from raytracer_tpu.camera import Camera
+    from raytracer_tpu.obj import parse_obj
+    from raytracer_tpu.scene import specs as S
+    from raytracer_tpu.scene.builder import build_scene
+    from raytracer_tpu.core.render import render
+
+    src = (REF / "obj/teapot.obj").read_text()
+    glass = S.Material(color=(0.05, 0.05, 0.08), transparency=0.9,
+                       refractive_index=1.5, diffuse=0.1, ambient=0.02,
+                       specular=0.9, shininess=300.0)
+    items = [S.PointLight(position=(-10.0, 20.0, -10.0)),
+             S.Plane(material=S.Material(specular=0.0))]
+    for i in range(56):
+        g = parse_obj(src, glass)
+        g.transform = (
+            tf.translation(-8.0 + 2.0 * (i % 9), 0.0, 3.0 + 2.5 * (i // 9))
+            @ tf.rotation_y(0.5 * i) @ tf.scaling(0.12, 0.12, 0.12)
+        )
+        items.append(g)
+    scene = build_scene(items)
+    assert scene.static.mesh_transparent
+    cam = Camera(640, 360, math.pi / 3).with_transform(
+        tf.view_transform((0, 4.0, -12.0), (0, 1.0, 2.0), (0, 1, 0)))
+    render(scene, cam, quantize=True)
+    dt, img = median_time(lambda: render(scene, cam, quantize=True), iters)
+    assert np.isfinite(img.astype(np.float32)).all()
+    px = cam.hsize * cam.vsize
+    return dict(
+        px_per_sec=round(px / dt, 1),
+        seconds_per_frame=round(dt, 3),
+        triangles=int(scene.static.counts[5]),
+        resolution=f"{cam.hsize}x{cam.vsize}",
+    )
+
+
 def bench_soft_shadows(iters):
     import jax
     from raytracer_tpu.scene.yaml_scene import parse_scene
@@ -176,6 +219,7 @@ def main():
     dragons, cam, scene, dt = bench_dragons(5)
     flagship = bench_flagship(5)
     soft = bench_soft_shadows(3)
+    glass = bench_glass_mesh(3)
     roof = roofline_estimate(cam, scene, dt)
 
     print(json.dumps({
@@ -187,6 +231,7 @@ def main():
             "dragons_equiv": dragons,
             "flagship_1280x720": flagship,
             "soft_shadows": soft,
+            "glass_mesh_354k_tris": glass,
             "roofline_dragons": roof,
             "baseline_px_per_sec": round(BASELINE_PX_PER_SEC, 1),
         },
