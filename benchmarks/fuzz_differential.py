@@ -25,8 +25,15 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
+import os  # noqa: E402
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+if os.environ.get("RAYTRACER_FUZZ_OUT"):
+    # the CPU worker: the axon sitecustomize force-resets jax_platforms
+    # at interpreter start, so the env var alone is not enough
+    jax.config.update("jax_platforms", "cpu")
 
 from raytracer_tpu import transforms as tf  # noqa: E402
 from raytracer_tpu.camera import Camera  # noqa: E402
@@ -49,17 +56,31 @@ def random_scene(seed):
         ))
     for _ in range(int(rng.integers(3, 8))):
         items.append(random_shape(rng))
+    if seed % 2 == 0:
+        # mesh instances big enough to engage the Pallas kernel on TPU
+        # (vs the lax.scan path on CPU) — every other seed transparent,
+        # driving the nearest-behind reversed-ray query too
+        from raytracer_tpu.obj import parse_obj
+
+        src = Path("/root/reference/samples/obj/teapot.obj").read_text()
+        mat = (S.Material(color=(0.05, 0.05, 0.1), transparency=0.85,
+                          refractive_index=1.4, diffuse=0.1)
+               if seed % 4 == 0 else
+               S.Material(color=tuple(rng.random(3)), diffuse=0.8))
+        for _ in range(2):
+            g = parse_obj(src, mat)
+            g.transform = (
+                tf.translation(*rng.uniform(-3, 3, 3))
+                @ tf.rotation_y(float(rng.random() * 6.28))
+                @ tf.scaling(0.1, 0.1, 0.1)
+            )
+            items.append(g)
     # deterministic jitter so both backends draw identical samples
     return build_scene(items, jitter=(0.5,), recursion_limit=3)
 
 
-def render_on(device, scene, o, d):
-    scene_d = jax.device_put(scene, device)
-    o_d = jax.device_put(o, device)
-    d_d = jax.device_put(d, device)
-    img = jax.jit(color_at, device=device, static_argnums=(4,))(
-        scene_d, o_d, d_d, None, 3
-    )
+def render_local(scene, o, d):
+    img = jax.jit(color_at, static_argnums=(4,))(scene, o, d, None, 3)
     return quantize_u8(np.asarray(img))
 
 
@@ -74,16 +95,37 @@ def main():
     o, d = ray_grid(cam)
     o, d = np.asarray(o), np.asarray(d)
 
-    tpu = jax.devices()[0]
-    cpu = jax.devices("cpu")[0]
-    print(f"backends: {tpu.platform} vs {cpu.platform}")
+    backend = jax.default_backend()
+    print(f"this process: {backend}")
+
+    cpu_dir = Path("/tmp/fuzz_diff_cpu")
+    if backend != "cpu":
+        # CPU images come from a subprocess with JAX_PLATFORMS=cpu — the
+        # mesh-path dispatch (Pallas vs lax.scan) keys on the process
+        # backend, so the two lowerings need two processes.
+        import subprocess
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   RAYTRACER_FUZZ_OUT=str(cpu_dir))
+        sub = subprocess.run(
+            [sys.executable, __file__, "--seeds", str(n_seeds)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        assert sub.returncode == 0, sub.stdout[-2000:] + sub.stderr[-2000:]
+
+    out_dir = os.environ.get("RAYTRACER_FUZZ_OUT")
+    if out_dir:
+        Path(out_dir).mkdir(exist_ok=True)
 
     results = []
     worst = 0.0
     for seed in range(1, n_seeds + 1):
         scene = random_scene(seed)
-        a = render_on(tpu, scene, o, d)
-        b = render_on(cpu, scene, o, d)
+        a = render_local(scene, o, d)
+        if out_dir:  # CPU worker: save and continue
+            np.save(Path(out_dir) / f"img_{seed}.npy", a)
+            continue
+        b = np.load(cpu_dir / f"img_{seed}.npy")
         diff = np.abs(a.astype(int) - b.astype(int)).max(-1)
         mismatch = float((diff > 1).mean())
         worst = max(worst, mismatch)
@@ -92,7 +134,10 @@ def main():
         print(results[-1])
         assert mismatch <= 0.005, f"seed {seed}: {mismatch:.4f} > 0.5% budget"
 
-    if tpu.platform != "cpu":
+    if out_dir:
+        print(f"cpu worker wrote {n_seeds} images to {out_dir}")
+        return
+    if backend != "cpu":
         (REPO / "FUZZ_DIFF.json").write_text(json.dumps(dict(
             seeds=n_seeds, resolution="64x48", budget_pct=0.5,
             worst_mismatch_pct=round(worst * 100, 3), scenes=results,
