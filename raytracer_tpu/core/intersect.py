@@ -478,8 +478,15 @@ def candidate_hits(scene: T.Scene, origins, directions):
 
     nt_free = nt - nt_csg
     if nt_free > 0:
+        # Cap the mesh search at the nearest positive static hit: a
+        # triangle at t >= that cap can never win first_hit (the static
+        # column is closer) and is never consumed by the n1/n2 walk
+        # (which only reads entries with t <= t_hit), so erasing it is
+        # exact — and the cap seeds the mesh kernel's chunk/DMA gates.
+        pos = (ts > 0.0) & jnp.isfinite(ts)
+        t_cap = jnp.min(jnp.where(pos, ts, INF), axis=-1)
         ft, fg, fu, fv = _tri_free_nearest(
-            scene, origins, directions, nt_csg, nt_free
+            scene, origins, directions, nt_csg, nt_free, t_cap=t_cap
         )
         cols_t, cols_g, cols_u, cols_v = [ft], [fg], [fu], [fv]
         if st.mesh_transparent:
@@ -496,23 +503,30 @@ def candidate_hits(scene: T.Scene, origins, directions):
     return ts, gid, u, v
 
 
-def _tri_free_nearest(scene: T.Scene, origins, directions, start, count):
+def _tri_free_nearest(scene: T.Scene, origins, directions, start, count,
+                      t_cap=None):
     """Nearest positive hit over the non-CSG triangle range.
+
+    ``t_cap`` [R] (optional): per-ray search cap — hits at t >= cap
+    report +inf. Callers pass the nearest positive static-primitive t,
+    which is exact for every consumer (see candidate_hits) and lets the
+    AABB gates reject statically-occluded geometry.
 
     On TPU with a mid-size mesh this dispatches to the Pallas kernel
     (ops/mesh_pallas.py) — per-subtile chunk culling in VMEM (2x over the
-    XLA path at teapot scale). Very large meshes stay on the lax.scan
-    path: the kernel's per-chunk loop iteration overhead overtakes its
-    finer culling once the chunk count reaches the thousands (a
-    two-level in-kernel AABB hierarchy would lift this; future work).
+    XLA path at teapot scale), with live supergroups DMA-streamed
+    front-to-back through a VMEM double buffer.
     """
     if (jax.default_backend() == "tpu"
             and count >= 4 * TRI_CHUNK):
-        return _tri_free_nearest_pallas(scene, origins, directions, start, count)
-    return _tri_free_nearest_scan(scene, origins, directions, start, count)
+        return _tri_free_nearest_pallas(
+            scene, origins, directions, start, count, t_cap=t_cap)
+    return _tri_free_nearest_scan(
+        scene, origins, directions, start, count, t_cap=t_cap)
 
 
-def _tri_free_nearest_pallas(scene, origins, directions, start, count):
+def _tri_free_nearest_pallas(scene, origins, directions, start, count,
+                             t_cap=None):
     from raytracer_tpu.ops import mesh_pallas as MP
 
     if scene.mesh_planes is not None and start == scene.static.n_csg_tris:
@@ -535,14 +549,17 @@ def _tri_free_nearest_pallas(scene, origins, directions, start, count):
             [directions,
              jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))]
         )
-    t, idx, u, v = MP.mesh_nearest(origins, directions, tri, bb)
+        if t_cap is not None:
+            t_cap = jnp.concatenate([t_cap, jnp.full((pad,), INF)])
+    t, idx, u, v = MP.mesh_nearest(origins, directions, tri, bb, t_init=t_cap)
     t, idx, u, v = t[:r], idx[:r], u[:r], v[:r]
     tri_off = sum(scene.static.counts[:5])
     gid = tri_off + start + jnp.minimum(idx, count - 1)
     return t, gid, u, v
 
 
-def _tri_free_nearest_scan(scene: T.Scene, origins, directions, start, count):
+def _tri_free_nearest_scan(scene: T.Scene, origins, directions, start, count,
+                           t_cap=None):
     """Nearest positive hit over the non-CSG triangle range, chunked scan
     with per-chunk AABB culling.
 
@@ -550,6 +567,7 @@ def _tri_free_nearest_scan(scene: T.Scene, origins, directions, start, count):
     so a whole chunk whose AABB no ray in the tile enters is skipped via
     lax.cond — the BVH-equivalent for a wide SIMD machine: cull at chunk
     granularity instead of per-ray tree traversal (SURVEY §7.6).
+    ``t_cap`` [R] seeds the running best-t (see _tri_free_nearest).
 
     Returns (t [R], gid [R], u [R], v [R]); misses have t=+inf.
     """
@@ -569,7 +587,7 @@ def _tri_free_nearest_scan(scene: T.Scene, origins, directions, start, count):
     inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-12, 1e-12, directions)
 
     init = (
-        jnp.full((r,), INF),
+        jnp.full((r,), INF) if t_cap is None else t_cap,
         jnp.zeros((r,), jnp.int32),
         jnp.zeros((r,)),
         jnp.zeros((r,)),
@@ -608,6 +626,8 @@ def _tri_free_nearest_scan(scene: T.Scene, origins, directions, start, count):
     (bt, bg, bu, bv), _ = jax.lax.scan(
         body, init, (p1, e1, e2, bases, bb_min, bb_max)
     )
+    if t_cap is not None:
+        bt = jnp.where(bt < t_cap, bt, INF)
     tri_off = sum(scene.static.counts[:5])
     gid = tri_off + start + jnp.minimum(bg, count - 1)
     return bt, gid, bu, bv
@@ -632,7 +652,7 @@ def nearest_hit(scene: T.Scene, origins, directions):
     nt_free = st.counts[5] - st.n_csg_tris
     if nt_free > 0:
         t_m, g_m, u_m, v_m = _tri_free_nearest(
-            scene, origins, directions, st.n_csg_tris, nt_free
+            scene, origins, directions, st.n_csg_tris, nt_free, t_cap=t_s
         )
         better = t_m < t_s
         t_s = jnp.where(better, t_m, t_s)
@@ -743,8 +763,15 @@ def shadow_blocked(scene: T.Scene, over, pos, live=None):
     nt_free = st.counts[5] - st.n_csg_tris
     if nt_free > 0:
         flat_o = jnp.broadcast_to(over[:, None], (r, s, 3)).reshape(-1, 3)
+        # Exact search cap: a mesh hit at or beyond the nearest static
+        # hit can never be the deciding (nearest) intersection, and one
+        # at or beyond the light sample distance decides "not blocked"
+        # exactly as a miss does — so the segment [0, min(t_s, dist))
+        # is the only region that matters, and the cap feeds the mesh
+        # kernel's AABB/DMA gates.
         t_m, g_m, _, _ = _tri_free_nearest(
-            scene, flat_o, direction.reshape(-1, 3), st.n_csg_tris, nt_free
+            scene, flat_o, direction.reshape(-1, 3), st.n_csg_tris, nt_free,
+            t_cap=jnp.minimum(t_s, dist).reshape(-1),
         )
         t_m = t_m.reshape(r, s)
         better = t_m < t_s

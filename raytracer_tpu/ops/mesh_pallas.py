@@ -105,12 +105,18 @@ def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
     v_ref[:, 0] = jnp.where(better, v_hit, v_ref[:, 0])
 
 
-def _kernel(ids_ref, cnt_ref, o_ref, id_ref, d_ref, bbc_ref, tri_hbm,
+def _kernel(ids_ref, cnt_ref, o_ref, id_ref, d_ref, t0_ref, bbc_ref, tri_hbm,
             t_ref, g_ref, u_ref, v_ref):
     n_chunks = bbc_ref.shape[1]
     i_sub = pl.program_id(0)
 
-    t_ref[:] = jnp.full_like(t_ref, jnp.inf)
+    # Seed the running best-t with the caller's per-ray cap (the nearest
+    # static-primitive hit, +inf when uncapped): the per-chunk
+    # ``tmin < best`` gate then rejects geometry occluded by static
+    # objects from the very first chunk, not only after the first
+    # triangle hit. Entries at t >= cap can never win first_hit nor be
+    # consumed by the n1/n2 walk, so the cap is semantically free.
+    t_ref[:] = t0_ref[:]
     g_ref[:] = jnp.zeros_like(g_ref)
     u_ref[:] = jnp.zeros_like(u_ref)
     v_ref[:] = jnp.zeros_like(v_ref)
@@ -184,13 +190,19 @@ def _kernel(ids_ref, cnt_ref, o_ref, id_ref, d_ref, bbc_ref, tri_hbm,
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
+    # rays whose best never beat the cap are misses for THIS query
+    t_ref[:, 0] = jnp.where(t_ref[:, 0] < t0_ref[:, 0], t_ref[:, 0], jnp.inf)
 
-def _live_supergroups(origins, inv_d, bb_super):
+
+def _live_supergroups(origins, inv_d, bb_super, t_cap=None):
     """Per-subtile compacted live-supergroup lists (the kernel's DMA gate).
 
     A supergroup is live for a subtile when ANY of its rays' infinite
     lines enters the supergroup AABB at some t >= 0 (conservative: no
-    current-best-t tightening — that happens per chunk in the kernel).
+    current-best-t tightening — that happens per chunk in the kernel)
+    AND, when ``t_cap`` [R] is given, enters before that ray's cap — a
+    supergroup entirely occluded by static geometry for every ray of
+    the subtile is never DMA'd at all.
 
     Live supergroups are ordered FRONT-TO-BACK by their nearest frustum
     entry distance: the kernel's running best-t then tightens after the
@@ -211,6 +223,8 @@ def _live_supergroups(origins, inv_d, bb_super):
     tmin = jnp.max(jnp.minimum(t0, t1), -1)
     tmax = jnp.min(jnp.maximum(t0, t1), -1)
     hit = (tmin <= tmax + EPSILON) & (tmax >= 0.0)           # [n_sub,RT,ns]
+    if t_cap is not None:
+        hit &= tmin <= t_cap.reshape(-1, RT, 1)
     live = jnp.any(hit, 1)                                   # [n_sub,ns]
     # entry distance of the subtile frustum = nearest ray entry (>= 0)
     entry = jnp.min(
@@ -221,19 +235,30 @@ def _live_supergroups(origins, inv_d, bb_super):
     return ids, cnt
 
 
-def mesh_nearest(origins, directions, tri_planes, bb, *, interpret=False):
+def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
+                 interpret=False):
     """Nearest triangle hit per ray.
 
     origins/directions: [R, 3] (R a multiple of RT)
     tri_planes: [n_super, SG*ROWS, CHUNK] — supergroup-major plane rows
     bb: (bb_chunk [6, n_chunks], bb_super [6, n_super]) from
         pack_tri_planes; both SMEM-resident
+    t_init: optional [R] per-ray search cap (e.g. the nearest
+        static-primitive hit). Hits at t >= t_init report +inf; the cap
+        seeds the kernel's running best-t and culls occluded
+        supergroups from the DMA stream entirely.
     Returns (t [R], tri_idx [R], u [R], v [R]).
     """
     bb_chunk, bb_super = bb
     r = origins.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-12, 1e-12, directions)
-    ids, cnt = _live_supergroups(origins, inv_d, bb_super)
+    if t_init is None:
+        t0 = jnp.full((r, 1), jnp.inf, jnp.float32)
+    else:
+        t0 = t_init.astype(jnp.float32).reshape(r, 1)
+    ids, cnt = _live_supergroups(
+        origins, inv_d, bb_super, None if t_init is None else t0[:, 0]
+    )
 
     grid = (r // RT,)
     out_shape = [
@@ -255,13 +280,14 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, interpret=False):
             ray_spec,                                        # origins
             ray_spec,                                        # inv_d
             ray_spec,                                        # directions
+            out_spec,                                        # t cap
             pl.BlockSpec(memory_space=pltpu.SMEM),           # chunk AABBs
             pl.BlockSpec(memory_space=pl.ANY),               # tri planes HBM
         ],
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(ids, cnt, origins, inv_d, directions, bb_chunk, tri_planes)
+    )(ids, cnt, origins, inv_d, directions, t0, bb_chunk, tri_planes)
     return t[:, 0], g[:, 0], u[:, 0], v[:, 0]
 
 
