@@ -105,8 +105,8 @@ def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
     v_ref[:, 0] = jnp.where(better, v_hit, v_ref[:, 0])
 
 
-def _kernel(ids_ref, cnt_ref, o_ref, id_ref, d_ref, t0_ref, bbc_ref, tri_hbm,
-            t_ref, g_ref, u_ref, v_ref):
+def _kernel(ids_ref, cnt_ref, ent_ref, o_ref, id_ref, d_ref, t0_ref,
+            bbc_ref, tri_hbm, t_ref, g_ref, u_ref, v_ref):
     n_chunks = bbc_ref.shape[1]
     i_sub = pl.program_id(0)
 
@@ -150,13 +150,28 @@ def _kernel(ids_ref, cnt_ref, o_ref, id_ref, d_ref, t0_ref, bbc_ref, tri_hbm,
                 tri_hbm.at[ids_ref[i_sub, j]], scratch.at[slot], sems.at[slot]
             )
 
-        def outer(j, _):
-            slot = j % 2
-            nxt = (j + 1) % 2
+        n_super_last = ids_ref.shape[1] - 1
 
-            @pl.when(j + 1 < n_live)
+        def outer(state):
+            j, _ = state
+            slot = j % 2
+
+            # Early exit (front-to-back occlusion): supergroup j+1 — and
+            # by the entry-distance sort everything after it — can only
+            # contribute hits at t >= its frustum entry distance; once
+            # EVERY ray's running best is closer, the rest of the stream
+            # is occluded. The decision uses best-t as of before merging
+            # supergroup j (conservative by one step), because the next
+            # DMA must be started now to overlap with j's compute, and an
+            # exited loop must leave no DMA in flight.
+            maxt = jnp.max(t_ref[:, 0])
+            nxt_ok = (j + 1 < n_live) & (
+                ent_ref[i_sub, jnp.minimum(j + 1, n_super_last)] < maxt
+            )
+
+            @pl.when(nxt_ok)
             def _():
-                get_dma(nxt, j + 1).start()
+                get_dma((j + 1) % 2, j + 1).start()
 
             get_dma(slot, j).wait()
             s = ids_ref[i_sub, j]
@@ -175,14 +190,16 @@ def _kernel(ids_ref, cnt_ref, o_ref, id_ref, d_ref, t0_ref, bbc_ref, tri_hbm,
                 return 0
 
             jax.lax.fori_loop(0, SG, inner, 0)
-            return 0
+            return j + 1, nxt_ok
 
         # n_live == 0 (e.g. every ray parked) skips all DMA and compute —
         # this is what makes parked zero-weight wavefront levels free.
         @pl.when(n_live > 0)
         def _():
             get_dma(0, 0).start()
-            jax.lax.fori_loop(0, n_live, outer, 0)
+            jax.lax.while_loop(
+                lambda st: st[1], outer, (jnp.int32(0), jnp.bool_(True))
+            )
 
     pl.run_scoped(
         body,
@@ -211,7 +228,8 @@ def _live_supergroups(origins, inv_d, bb_super, t_cap=None):
     a BVH, recovered as a sort key.
 
     Returns (ids [n_sub, n_super] i32 — live indices front-to-back;
-    cnt [n_sub] i32).
+    cnt [n_sub] i32; ent [n_sub, n_super] f32 — the matching sorted
+    entry distances, +inf past cnt — the kernel's early-exit key).
     """
     ns = bb_super.shape[1]
     o = origins.reshape(-1, RT, 1, 3)
@@ -230,9 +248,10 @@ def _live_supergroups(origins, inv_d, bb_super, t_cap=None):
     entry = jnp.min(
         jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf), axis=1
     )                                                        # [n_sub,ns]
-    ids = jnp.argsort(jnp.where(live, entry, jnp.inf), axis=1).astype(jnp.int32)
+    key = jnp.where(live, entry, jnp.inf)
+    ids = jnp.argsort(key, axis=1).astype(jnp.int32)
     cnt = jnp.sum(live, axis=1, dtype=jnp.int32)
-    return ids, cnt
+    return ids, cnt, jnp.sort(key, axis=1)
 
 
 def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
@@ -256,7 +275,7 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
         t0 = jnp.full((r, 1), jnp.inf, jnp.float32)
     else:
         t0 = t_init.astype(jnp.float32).reshape(r, 1)
-    ids, cnt = _live_supergroups(
+    ids, cnt, ent = _live_supergroups(
         origins, inv_d, bb_super, None if t_init is None else t0[:, 0]
     )
 
@@ -277,6 +296,7 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),           # live ids
             pl.BlockSpec(memory_space=pltpu.SMEM),           # live counts
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # entry dists
             ray_spec,                                        # origins
             ray_spec,                                        # inv_d
             ray_spec,                                        # directions
@@ -287,7 +307,7 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(ids, cnt, origins, inv_d, directions, t0, bb_chunk, tri_planes)
+    )(ids, cnt, ent, origins, inv_d, directions, t0, bb_chunk, tri_planes)
     return t[:, 0], g[:, 0], u[:, 0], v[:, 0]
 
 
