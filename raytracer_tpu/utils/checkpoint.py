@@ -44,11 +44,21 @@ def _render_digest(scene, key) -> str:
 
 
 def render_resumable(scene, camera, checkpoint_path, *, key=None,
-                     tile_rays=1 << 14, stats: RenderStats | None = None):
+                     tile_rays=1 << 14, stats: RenderStats | None = None,
+                     max_retries: int = 2, on_retry=None):
     """Like core.render.render but flushing each tile to disk.
 
     ``checkpoint_path`` is a directory; re-running with the same path and
     shape resumes after the last complete tile. Returns the full image.
+
+    Failure detection (SURVEY §5: the reference has none — a crashed
+    45-minute dragons render restarts from zero): every tile is validated
+    before being marked done — a non-finite tile (device fault, transport
+    corruption) or a raised device error is retried up to ``max_retries``
+    times; a tile that keeps failing raises RuntimeError with every other
+    finished tile already flushed, so the re-run retries ONLY the bad
+    tile. ``on_retry(tile_index, attempt, reason)`` observes retries
+    (tests / logging).
     """
     ckpt = Path(checkpoint_path)
     ckpt.mkdir(parents=True, exist_ok=True)
@@ -89,11 +99,30 @@ def render_resumable(scene, camera, checkpoint_path, *, key=None,
             stats.start_tile()
         i = ti * tile
         tkey = jax.random.fold_in(key, i)
-        part = np.asarray(_tile_color_jit(
-            scene, inv, consts,
-            jnp.asarray(padded[i : i + tile], jnp.int32), tkey,
-            scene.static.recursion_limit, camera.hsize,
-        ))
+        part = None
+        for attempt in range(max_retries + 1):
+            try:
+                part = np.asarray(_tile_color_jit(
+                    scene, inv, consts,
+                    jnp.asarray(padded[i : i + tile], jnp.int32), tkey,
+                    scene.static.recursion_limit, camera.hsize,
+                ))
+            except Exception as e:  # transient device/transport error
+                reason = f"{type(e).__name__}: {e}"
+                part = None
+            else:
+                if np.isfinite(part).all():
+                    break
+                reason = "non-finite tile output"
+                part = None
+            if attempt == max_retries:
+                raise RuntimeError(
+                    f"tile {ti} failed after {max_retries + 1} attempts "
+                    f"({reason}); finished tiles are checkpointed — "
+                    f"re-run to retry only this tile"
+                )
+            if on_retry is not None:
+                on_retry(ti, attempt, reason)
         sel = order[i : min(i + tile, n)]
         flat[sel] = part[: len(sel)]
         done[ti] = True

@@ -53,3 +53,55 @@ def test_resume_after_partial(tmp_path):
     img = render_resumable(scene, cam, tmp_path / "ck", tile_rays=128, stats=stats)
     assert stats.tiles == 1
     assert np.allclose(img, direct, atol=1e-6)
+
+
+def test_failure_detection_retries(tmp_path, monkeypatch):
+    """A tile whose device call fails transiently (exception or
+    non-finite output) is detected, retried, and the render completes;
+    a persistent failure raises with every other tile checkpointed."""
+    from raytracer_tpu.utils import checkpoint as CK
+
+    scene, cam = small()
+    direct = render(scene, cam, tile_rays=128)
+
+    real = CK._tile_color_jit
+    fails = {"left": 2}
+
+    def flaky(scene_, inv, consts, idx, key, limit, hsize):
+        out = real(scene_, inv, consts, idx, key, limit, hsize)
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            if fails["left"] % 2:
+                raise RuntimeError("injected transport fault")
+            return out * np.nan  # injected device corruption
+        return out
+
+    monkeypatch.setattr(CK, "_tile_color_jit", flaky)
+    seen = []
+    img = render_resumable(
+        scene, cam, tmp_path / "ck", tile_rays=128, max_retries=2,
+        on_retry=lambda ti, attempt, reason: seen.append((ti, reason)),
+    )
+    assert np.allclose(img, direct, atol=1e-6)
+    assert len(seen) == 2
+    assert any("injected transport fault" in r for _, r in seen)
+    assert any("non-finite" in r for _, r in seen)
+
+    # persistent failure: raises, but finished tiles stay checkpointed
+    calls = {"n": 0}
+
+    def fails_after_first(scene_, inv, consts, idx, key, limit, hsize):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("persistent device fault")
+        return real(scene_, inv, consts, idx, key, limit, hsize)
+
+    monkeypatch.setattr(CK, "_tile_color_jit", fails_after_first)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="tile 1 failed"):
+        render_resumable(
+            scene, cam, tmp_path / "ck2", tile_rays=128, max_retries=1,
+        )
+    done = np.lib.format.open_memmap(tmp_path / "ck2" / "done.npy", mode="r")
+    assert done[0] and not done[1:].any()
