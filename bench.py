@@ -12,9 +12,12 @@ reference's 213 px/s (same resolution, same scene class).
 
 Also reported (in "matrix"): the flagship 3-sphere glass scene at
 1280x720 depth-4, soft_shadows (10x10 area light = 100 shadow rays/hit),
-total traced rays/s, and a cost_analysis-based roofline estimate
-(caveat: XLA's "bytes accessed" overcounts gather operands; treat GB/s
-as an upper bound).
+a transparent 354k-triangle mesh scene, forward+backward training-step
+throughput (rays/s through render + MSE grad + SGD update — the
+BASELINE.json target is rays/sec/chip forward+backward), total traced
+rays/s, and a cost_analysis-based roofline estimate (caveat: XLA's
+"bytes accessed" overcounts gather operands; treat GB/s as an upper
+bound).
 
 Usage: python bench.py [--smoke]
 """
@@ -153,6 +156,42 @@ def bench_glass_mesh(iters):
     )
 
 
+def bench_train_step(iters):
+    """Forward+backward rays/s (the BASELINE.json target is rays/sec/chip
+    forward+backward): one jitted SGD step on every float scene table of
+    the flagship scene — render + MSE loss + grads + update — over a
+    128k-ray batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_scene, _camera
+    from raytracer_tpu.camera import ray_grid
+    from raytracer_tpu.parallel.train import train_step
+
+    scene = _flagship_scene()
+    cam = _camera(512, 256)                     # 131072 rays
+    origins, directions = ray_grid(cam)
+    o = jnp.asarray(origins)
+    d = jnp.asarray(directions)
+    target = jnp.zeros((o.shape[0], 3))
+
+    step = jax.jit(lambda s, o, d, t: train_step(s, o, d, t, lr=1e-3))
+    loss, _ = step(scene, o, d, target)         # compile
+    assert np.isfinite(float(loss))
+
+    def run():
+        loss, s2 = step(scene, o, d, target)
+        return float(loss)
+
+    dt, _ = median_time(run, iters)
+    n = o.shape[0]
+    return dict(
+        rays_per_sec_fwd_bwd=round(n / dt, 1),
+        seconds_per_step=round(dt, 4),
+        batch_rays=int(n),
+    )
+
+
 def bench_soft_shadows(iters):
     import jax
     from raytracer_tpu.scene.yaml_scene import parse_scene
@@ -220,6 +259,7 @@ def main():
     flagship = bench_flagship(5)
     soft = bench_soft_shadows(3)
     glass = bench_glass_mesh(3)
+    train = bench_train_step(3)
     roof = roofline_estimate(cam, scene, dt)
 
     print(json.dumps({
@@ -232,6 +272,7 @@ def main():
             "flagship_1280x720": flagship,
             "soft_shadows": soft,
             "glass_mesh_354k_tris": glass,
+            "train_step_fwd_bwd": train,
             "roofline_dragons": roof,
             "baseline_px_per_sec": round(BASELINE_PX_PER_SEC, 1),
         },

@@ -61,6 +61,9 @@ def main():
     caps = jax.device_put(caps_fn(idx_tiles))
     np.asarray(caps)  # fence
 
+    import os
+    count_mode = os.environ.get("RAYTRACER_MESH_ABLATE") == "count"
+
     @jax.jit
     def sweep(idx_tiles, caps):
         def body(_, xs):
@@ -69,6 +72,9 @@ def main():
             t, g, u, v = I._tri_free_nearest(
                 scene, o, d, st.n_csg_tris, nt_free, t_cap=cap
             )
+            if count_mode:   # u/v carry per-subtile (iterations, chunks)
+                from raytracer_tpu.ops.mesh_pallas import RT as RT_
+                return None, (u[::RT_].sum(), v[::RT_].sum())
             return None, (t.min(), g.max())
 
         return jax.lax.scan(body, None, (idx_tiles, caps))[1]
@@ -76,6 +82,13 @@ def main():
     t0 = time.perf_counter()
     out = jax.tree.map(np.asarray, sweep(idx_tiles, caps))
     print(f"compile+first sweep: {time.perf_counter() - t0:.1f} s")
+    if count_mode:
+        its, chunks = float(out[0].sum()), float(out[1].sum())
+        n_sub = n_tiles * tile // 256
+        print(f"supergroup iterations: {its:.0f} ({its / n_sub:.1f}/subtile)"
+              f"  chunk gate passes: {chunks:.0f} ({chunks / max(its,1):.2f}"
+              f"/iter of {8})")
+        return
 
     times = []
     for _ in range(iters):

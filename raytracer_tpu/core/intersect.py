@@ -71,11 +71,21 @@ def table_gather(table, idx, limit: int = 32):
     table: [G, ...rest]; idx: any integer shape; returns [*idx, ...rest].
     """
     g = table.shape[0]
-    if g > limit and g <= 1024 and jnp.issubdtype(table.dtype, jnp.floating):
-        oh = (idx[..., None] == jnp.arange(g)).astype(table.dtype)
-        flat = table.reshape(g, -1)
+    if g > limit and g <= 1024:
+        dt = table.dtype
+        if jnp.issubdtype(dt, jnp.floating):
+            ft = table
+        elif dt == jnp.bool_ or jnp.issubdtype(dt, jnp.integer):
+            # exact for |values| < 2^24 — true for every id/flag table
+            # routed here (material/pattern row ids, shadow flags)
+            ft = table.astype(jnp.float32)
+        else:
+            return table[idx]
+        oh = (idx[..., None] == jnp.arange(g)).astype(jnp.float32)
+        flat = ft.reshape(g, -1)
         out = jnp.einsum("...g,gk->...k", oh, flat, precision="highest")
-        return out.reshape(idx.shape + table.shape[1:])
+        out = out.reshape(idx.shape + table.shape[1:])
+        return out if ft is table else out.astype(dt)
     if g > limit:
         return table[idx]
     mask = idx[..., None] == jnp.arange(g)               # [*idx, G]
@@ -747,7 +757,8 @@ def shadow_blocked(scene: T.Scene, over, pos, live=None):
     if st.csg_nodes:
         flat_o = jnp.broadcast_to(over[:, None], (r, s, 3)).reshape(-1, 3)
         has, t, g, _, _ = nearest_hit(scene, flat_o, direction.reshape(-1, 3))
-        blocked = has & (t < dist.reshape(-1)) & table_gather(scene.shadow, g)
+        blocked = has & (t < dist.reshape(-1)) & table_gather(
+            scene.shadow, transform_row(scene, g))
         return blocked.reshape(r, s)
 
     ts, col_gid = _shadow_static_ts(scene, over, direction)
@@ -775,7 +786,13 @@ def shadow_blocked(scene: T.Scene, over, pos, live=None):
         )
         t_m = t_m.reshape(r, s)
         better = t_m < t_s
-        flag_m = table_gather(scene.shadow, g_m.reshape(r, s))
+        if st.mesh_all_shadow:
+            # every triangle source casts shadows (static fact): skip the
+            # per-hit flag lookup — it was a per-triangle-table gather
+            flag_m = jnp.bool_(True)
+        else:
+            flag_m = table_gather(
+                scene.shadow, transform_row(scene, g_m.reshape(r, s)))
         flag_s = jnp.where(better, flag_m, flag_s)
         t_s = jnp.minimum(t_m, t_s)
 

@@ -152,7 +152,12 @@ def shade_level(scene: T.Scene, o, d, weight, key):
 
     point = o + t[:, None] * d
     eyev = -d
-    normalv = SH.normal_at(scene, gid, point, u, v)
+    # ONE tri->source row gather shared by every per-primitive attribute
+    # (normals' transform, material id, pattern id): per-gid [G~1M]
+    # attribute tables turned each of these into its own ~250us/32k-ray
+    # gather custom-call in the r3 device trace.
+    tgid = I.transform_row(scene, gid)
+    normalv = SH.normal_at(scene, gid, point, u, v, tgid=tgid)
     flip = jnp.sum(normalv * eyev, -1) < 0.0
     normalv = jnp.where(flip[:, None], -normalv, normalv)
     over = point + EPSILON * normalv
@@ -161,12 +166,11 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     # culls reject it (their surface term is masked to 0 below anyway)
     over_sh, _ = park_rays(over, d, has)
 
-    # gid -> material row via the i32 indirection: a 4-byte-per-ray gather
-    # plus a one-hot expand from the tiny unique-material table, instead of
-    # a 40-byte-per-ray row gather out of a per-primitive table.
-    mat_rows = I.table_gather(scene.mat, scene.mat_id[gid])
-    pat = pattern_color(scene, gid, over)
-    has_pat = I.table_gather(scene.pattern_id, gid) >= 0
+    # compact-row -> material row id -> row from the tiny unique-material
+    # table; both lookups are exact one-hot reduces, no gathers.
+    mat_rows = I.table_gather(scene.mat, I.table_gather(scene.mat_id, tgid))
+    pat = pattern_color(scene, gid, over, tgid=tgid)
+    has_pat = I.table_gather(scene.pattern_id, tgid) >= 0
     base_color = jnp.where(has_pat[:, None], pat, mat_rows[:, T.MAT_COLOR])
 
     surface = jnp.zeros_like(base_color)
@@ -237,7 +241,7 @@ def shade_level(scene: T.Scene, o, d, weight, key):
 
 def _packed_shade_level(scene: T.Scene, o, d, w, key):
     """shade_level with live rays compacted to the front, run at the
-    narrowest width (R, R/4, R/16) that holds them.
+    narrowest width (R, R/2, R/4, R/16) that holds them.
 
     Deep wavefront levels are mostly parked, but every dense [R, ...]
     op (static trace, candidate table, gathers, Phong) still costs full
@@ -286,7 +290,12 @@ def _packed_shade_level(scene: T.Scene, o, d, w, key):
     parts = jax.lax.cond(
         n_live <= r // 16,
         run(r // 16),
-        lambda a: jax.lax.cond(n_live <= r // 4, run(r // 4), run(r), a),
+        lambda a: jax.lax.cond(
+            n_live <= r // 4,
+            run(r // 4),
+            lambda a: jax.lax.cond(n_live <= r // 2, run(r // 2), run(r), a),
+            a,
+        ),
         args,
     )
     return parts[0], tuple(parts[1:4]), tuple(parts[4:7])
@@ -454,9 +463,19 @@ def _render_frame_jit(scene, inv, consts, idx_tiles, key, limit, quantize,
 
 
 def _block_order(h, w, block):
-    """Flat pixel indices in square-block-major order. Screen-local tiles
-    give the mesh chunk culler coherent ray frusta (a row-major tile spans
-    the full image width and defeats AABB rejection)."""
+    """Flat pixel indices in square-block-major order. Screen-local
+    SUBTILES give the mesh chunk culler coherent ray frusta (a row-major
+    order spans the full image width and defeats AABB rejection).
+
+    The mesh kernel culls at RT=256-ray subtile granularity, so each
+    consecutive 256 ids must form one 16x16 pixel square — independent
+    of the DISPATCH tile size, which only sets the lax.scan granularity.
+    r2 coupled the two (block = sqrt(tile)), which forced 4096-ray tiles
+    for tight frusta and paid ~150 XLA op dispatches per scan iteration
+    x 141 iterations of pure overhead (~60% of the dragons frame in the
+    device trace). Decoupled, the dispatch tile can be 8x bigger at
+    identical culling quality."""
+    block = max(min(block, h, w), 1)
     cols = []
     for y0 in range(0, h, block):
         for x0 in range(0, w, block):
@@ -475,7 +494,7 @@ _ORDER_CACHE = {}
 def _order_tiles(h, w, tile):
     got = _ORDER_CACHE.get((h, w, tile))
     if got is None:
-        order = _block_order(h, w, max(int(tile ** 0.5), 1))
+        order = _block_order(h, w, 16)     # 16x16 = one RT=256 subtile
         n = h * w
         n_pad = -n % tile
         padded = np.pad(order, (0, n_pad)) if n_pad else order
@@ -488,15 +507,19 @@ def _order_tiles(h, w, tile):
 
 
 def pick_tile_rays(static: T.SceneStatic) -> int:
-    """Adaptive rays-per-dispatch. Mesh-heavy scenes want small
-    screen-local tiles: chunk-AABB culling rejects ~70-90% of triangle
-    chunks for a tight ray frustum but almost none for a frame-wide one
-    (measured 7x on a 632k-triangle scene). Small scenes prefer fewer
-    dispatches (each host->device dispatch costs ~hundreds of us to
-    ~200ms on remote TPU transports); depth-4 spawn trees bound the
-    ceiling."""
+    """Adaptive rays-per-dispatch (= the lax.scan iteration width).
+
+    Mesh-culling quality no longer depends on this (subtile frusta are
+    fixed 16x16 blocks, see _block_order), so the tile size trades scan
+    iterations (each ~150 XLA op dispatches of fixed overhead — the
+    dominant cost at 4096 rays/tile: ~60% of the r2 dragons frame) vs
+    the working-set of [R, C] intermediates and the packed deep-level
+    widths. Area-light scenes keep a smaller tile: their shadow/Phong
+    math materializes [R, S~100, 3] sample intermediates."""
     n_free_tris = static.counts[5] - static.n_csg_tris
-    return 1 << 12 if n_free_tris > 20000 else 1 << 17
+    if static.area_steps:
+        return 1 << 17 if n_free_tris <= 20000 else 1 << 14
+    return 1 << 15 if n_free_tris > 20000 else 1 << 17
 
 
 def render(scene: T.Scene, camera, *, key=None, tile_rays=None,

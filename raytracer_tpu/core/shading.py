@@ -23,11 +23,13 @@ def normalize(v, axis=-1):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), 1e-12)
 
 
-def normal_at(scene: T.Scene, gid, world_point, u, v):
+def normal_at(scene: T.Scene, gid, world_point, u, v, tgid=None):
     """shapes.rs:187-202: world_to_object -> local_normal_at -> world.
 
     Family dispatch is by static gid ranges; every family's formula is
-    evaluated and where-selected (no divergence on TPU).
+    evaluated and where-selected (no divergence on TPU). ``tgid``:
+    precomputed compact rows (intersect.transform_row), shared with the
+    caller's material/pattern lookups.
     """
     st = scene.static
     off = st.offsets
@@ -36,7 +38,8 @@ def normal_at(scene: T.Scene, gid, world_point, u, v):
     from raytracer_tpu.core.intersect import table_gather, transform_row
 
     # compact transform tables: one row per SOURCE (types.Scene.inv_tf)
-    tgid = transform_row(scene, gid)
+    if tgid is None:
+        tgid = transform_row(scene, gid)
     inv = table_gather(scene.inv_tf, tgid)
     lp = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point, precision="highest") + inv[:, :3, 3]
     lx, ly, lz = lp[:, 0], lp[:, 1], lp[:, 2]
@@ -163,7 +166,9 @@ def refraction_indices_fast(scene: T.Scene, ts, gids, hit_slot):
     unroll to a handful of [R, C] ops — no [R, C, C] tensors. ~100x less
     HBM traffic on TPU; the generic version remains as the oracle.
     """
-    from raytracer_tpu.core.intersect import candidate_meta, table_gather
+    from raytracer_tpu.core.intersect import (
+        candidate_meta, table_gather, transform_row,
+    )
 
     obj_np, siblings, c_static = candidate_meta(scene.static)
     c = ts.shape[-1]
@@ -172,23 +177,34 @@ def refraction_indices_fast(scene: T.Scene, ts, gids, hit_slot):
     valid = jnp.isfinite(ts)
     # Column -> refractive index. All static-region columns have
     # compile-time object ids, so their indices come from ONE [C_static]
-    # gather broadcast over rays; only the free-mesh columns (dynamic
-    # per-triangle gid) need an [R]-sized gather — the mat table has a
-    # row per PRIMITIVE (1M+ rows for big meshes), and a dense [R, C]
-    # row gather from it measured ~25% of a dragons frame.
+    # lookup broadcast over rays; only the free-mesh columns (dynamic
+    # per-triangle gid) need per-ray work — when every mesh source shares
+    # one refractive index (static fact), even that is a constant.
     mat_refr = scene.mat[:, T.MAT_REFRACTIVE]              # [M] unique rows
     n_dyn = c - min(c_static, c)
     refr_static = jnp.broadcast_to(
-        mat_refr[scene.mat_id[jnp.asarray(obj_np[: c - n_dyn])]][None, :],
+        mat_refr[table_gather(
+            scene.mat_id,
+            transform_row(scene, jnp.asarray(obj_np[: c - n_dyn])),
+        )][None, :],
         (ts.shape[0], c - n_dyn),
     )
     if n_dyn:
-        refr = jnp.concatenate(
-            [refr_static]
-            + [table_gather(mat_refr, scene.mat_id[gids[:, j]])[:, None]
-               for j in range(c - n_dyn, c)],
-            -1,
-        )
+        uni = scene.static.mesh_uniform_refr
+        if uni is not None:
+            dyn_cols = [
+                jnp.full((ts.shape[0], 1), jnp.float32(uni))
+            ] * n_dyn
+        else:
+            dyn_cols = [
+                table_gather(
+                    mat_refr,
+                    table_gather(scene.mat_id,
+                                 transform_row(scene, gids[:, j])),
+                )[:, None]
+                for j in range(c - n_dyn, c)
+            ]
+        refr = jnp.concatenate([refr_static] + dyn_cols, -1)
     else:
         refr = refr_static
 
@@ -199,21 +215,39 @@ def refraction_indices_fast(scene: T.Scene, ts, gids, hit_slot):
         (ts < t_h) | ((ts == t_h) & (idx[None, :] < hit_slot[:, None]))
     )                                                      # [R, C]
 
-    # per-column: parity of its object's toggles, and later-same-object
-    # toggle existence — static sibling unroll (<= 3 siblings/column)
-    cnt_cols, sup_cols = [], []
+    # per-column: parity of its object's toggles (one MXU one-hot matmul
+    # — exact small-integer counts), and later-same-object toggle
+    # existence (one masked [R, C, C] pass). The r2 version unrolled
+    # these as ~C*4 tiny [R] ops per level, which XLA left unfused —
+    # ~2 ms/tile of pure op latency in the r3 device trace.
+    import numpy as np
+
+    sib_m = np.zeros((c, c), bool)              # [k, j]: k sibling of j
     for j in range(c):
-        cj = before[:, j].astype(jnp.int32)
-        sj = jnp.zeros_like(before[:, j])
         for k in siblings[j]:
-            cj = cj + before[:, k].astype(jnp.int32)
-            sj = sj | (before[:, k] & (
-                (ts[:, k] > ts[:, j]) | ((ts[:, k] == ts[:, j]) & (k > j))
-            ))
-        cnt_cols.append(cj)
-        sup_cols.append(sj)
-    cnt = jnp.stack(cnt_cols, axis=1)
-    superseded = jnp.stack(sup_cols, axis=1)
+            sib_m[k, j] = True
+    cnt = jnp.einsum(
+        "rc,cd->rd", before.astype(jnp.float32),
+        jnp.asarray(sib_m | np.eye(c, dtype=bool), jnp.float32),
+        precision="highest",
+    ).astype(jnp.int32)
+    # restrict the pairwise pass to columns that have siblings at all
+    # (bounds the [R, K, J] intermediate for column-heavy CSG scenes)
+    ks = np.nonzero(sib_m.any(axis=1))[0]
+    js = np.nonzero(sib_m.any(axis=0))[0]
+    if len(ks):
+        ts_k = ts[:, ks][:, :, None]
+        ts_j = ts[:, js][:, None, :]
+        later = (ts_k > ts_j) | (
+            (ts_k == ts_j) & (ks[:, None] > js[None, :])[None]
+        )                                       # [R, k, j]
+        sup_js = jnp.any(
+            jnp.asarray(sib_m[np.ix_(ks, js)])[None]
+            & before[:, ks, None] & later, axis=1
+        )                                       # [R, len(js)]
+        superseded = jnp.zeros_like(before).at[:, js].set(sup_js)
+    else:
+        superseded = jnp.zeros_like(before)
     open_col = (cnt % 2) == 1
     live = before & ~superseded & open_col
 
@@ -251,10 +285,14 @@ def refraction_indices(scene: T.Scene, ts, gids, hit_slot):
     closes (recompute excluding it), else the hit's object becomes the
     most recent container.
     """
+    from raytracer_tpu.core.intersect import transform_row
+
     c = ts.shape[-1]
     idx = jnp.arange(c)
     valid = jnp.isfinite(ts)
-    refr = scene.mat[scene.mat_id[gids], T.MAT_REFRACTIVE]  # [R, C]
+    refr = scene.mat[
+        scene.mat_id[transform_row(scene, gids)], T.MAT_REFRACTIVE
+    ]                                                      # [R, C]
 
     t_h = jnp.take_along_axis(ts, hit_slot[:, None], -1)   # [R, 1]
     # strictly-before-hit by (t, slot) lexicographic order

@@ -97,6 +97,15 @@ class SceneStatic:
     # Deterministic area-light jitter sequence (test mode, lights.rs:77-81);
     # None means seeded-random jitter.
     jitter: tuple | None = None
+    # Every triangle SOURCE casts shadows: the mesh shadow query then
+    # skips its per-hit flag lookup entirely (gathers from per-triangle
+    # tables cost ~250 us per 32k rays on TPU; scenes using the
+    # shadow:false opt-out on meshes are rare).
+    mesh_all_shadow: bool = True
+    # All triangle sources share one refractive index -> that value, else
+    # None. Lets the n1/n2 walk's dynamic mesh columns skip their per-ray
+    # material lookup (the common case: one glass material per mesh).
+    mesh_uniform_refr: float | None = None
     # How many sorted hits to keep per ray (for hit(), CSG and n1/n2 walk).
     top_k: int = 12
     recursion_limit: int = 4
@@ -124,16 +133,20 @@ class Scene:
     """All scene data as arrays. Array fields are pytree leaves (grad-able);
     ``static`` is aux metadata."""
 
-    # --- per-gid tables -------------------------------------------------
+    # --- per-primitive attribute tables (COMPACT indexing) ---------------
     # Materials are deduplicated: ``mat`` holds the M unique rows and
-    # ``mat_id`` maps gid -> row. Big meshes share one material across all
-    # triangles, so gathering a per-ray i32 id then expanding from the tiny
-    # unique table replaces a [R, MAT_NCOLS] gather out of a million-row
-    # table (measured ~19% of a mesh-heavy frame on TPU).
+    # ``mat_id`` maps a compact row -> unique material. mat_id/pattern_id/
+    # shadow are indexed like inv_tf: non-triangle gids first, then ONE row
+    # per triangle SOURCE (gid -> row via intersect.transform_row). Every
+    # triangle of a mesh shares its source's attributes, so per-gid
+    # [G~1M] tables bought nothing except turning each attribute lookup
+    # into a million-row gather custom-call (~250 us per 32k rays,
+    # several per bounce level in the r3 device trace); compactly the
+    # only big gather left is the shared tri_tf_id row map.
     mat: Any            # f32 [M, MAT_NCOLS] unique material rows
-    mat_id: Any         # i32 [G] material row per primitive
-    pattern_id: Any     # i32 [G]   (-1 = none)
-    shadow: Any         # bool [G]  casts shadows (world.rs:107 opt-out)
+    mat_id: Any         # i32 [Gn + n_tf] material row per compact row
+    pattern_id: Any     # i32 [Gn + n_tf]   (-1 = none)
+    shadow: Any         # bool [Gn + n_tf]  casts shadows (world.rs:107)
     # Transform tables cover the NON-TRIANGLE gids followed by one row per
     # triangle SOURCE (an individually-added triangle, or a whole mesh
     # block — every triangle of a mesh shares its block's transform).
@@ -190,7 +203,7 @@ class Scene:
     # of a 40 ms dragons tile dispatch (1M-triangle transpose + reductions
     # re-materialized per dispatch); as pytree leaves they live in HBM and
     # every dispatch just reads them. None when the scene has no big mesh.
-    mesh_planes: Any = None    # f32 [n_super, SG*ROWS, CHUNK]
+    mesh_planes: Any = None    # f32 [n_super, SG, N_PLANES*CHUNK]
     mesh_bb_chunk: Any = None  # f32 [6, n_chunks]
     mesh_bb_super: Any = None  # f32 [6, n_super]
     # --- static -----------------------------------------------------------

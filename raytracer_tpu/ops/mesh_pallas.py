@@ -39,26 +39,37 @@ from raytracer_tpu.constants import EPSILON
 #   RT  512/256/128 -> 0.70/0.65/0.86 s;  CHUNK x SG (tris fixed at 8192)
 #   128x64 1.01 s, 256x32 0.83 s, 512x16 0.71 s, 1024x8 0.65 s, 2048x4
 #   0.71 s. Wide chunks amortize per-iteration loop overhead; RT=256
-#   keeps frusta tight enough for the chunk gate. ROWS is forced by the
-#   f32 (8,128) tile: a 9-sublane block physically occupies 16 rows, so
-#   trimming the pad cannot shrink the DMA.
+#   keeps frusta tight enough for the chunk gate.
+#
+# Plane layout is [n_super, SG, N_PLANES*CHUNK]: sublane row = chunk
+# (SG = 8 exactly fills the f32 sublane tile), lanes = the chunk's 9
+# plane rows side by side. The supergroup DMA then moves exactly
+# 9*SG*CHUNK floats (288 KB); the earlier chunk-major [SG*16, CHUNK]
+# layout padded each chunk's 9 plane rows to the 16-sublane f32 tile,
+# spending 78% more HBM traffic — an r3 ablation showed ~60% of kernel
+# time was the DMA/stream side, not the intersection math. (Mosaic
+# rejects slicing a 9-sublane block: sublane slices must align to 8,
+# which is what forces the chunk axis into sublanes.)
+import os as _os
+_ABLATE = _os.environ.get("RAYTRACER_MESH_ABLATE", "")
+
 RT = 256           # rays per subtile ([RT, CHUNK] f32 planes must fit VMEM)
 CHUNK = 1024       # triangles per chunk
-ROWS = 16          # plane rows per chunk (9 used, padded for DMA alignment)
-SG = 8             # chunks per supergroup (one DMA unit: SG*ROWS*CHUNK*4 B)
+N_PLANES = 9       # p1.xyz, e1.xyz, e2.xyz
+SG = 8             # chunks per supergroup (one DMA: N_PLANES*SG*CHUNK*4 B)
 
 
 def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
-    """Moller-Trumbore of the subtile against one chunk + running-min."""
-    p1x = tri[0, :][None, :]
-    p1y = tri[1, :][None, :]
-    p1z = tri[2, :][None, :]
-    e1x = tri[3, :][None, :]
-    e1y = tri[4, :][None, :]
-    e1z = tri[5, :][None, :]
-    e2x = tri[6, :][None, :]
-    e2y = tri[7, :][None, :]
-    e2z = tri[8, :][None, :]
+    """Moller-Trumbore of the subtile against one chunk + running-min.
+
+    ``tri``: the chunk's [N_PLANES*CHUNK] lane row (plane k of triangle
+    j at lane k*CHUNK + j)."""
+    def plane(k):
+        return tri[k * CHUNK : (k + 1) * CHUNK][None, :]
+
+    p1x, p1y, p1z = plane(0), plane(1), plane(2)
+    e1x, e1y, e1z = plane(3), plane(4), plane(5)
+    e2x, e2y, e2z = plane(6), plane(7), plane(8)
 
     dx = d_ref[:, 0][:, None]
     dy = d_ref[:, 1][:, None]
@@ -97,6 +108,8 @@ def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
 
     t_ref[:, 0] = jnp.where(better, tbest, t_ref[:, 0])
     g_ref[:, 0] = jnp.where(better, base + col, g_ref[:, 0])
+    if _ABLATE == "nouv":
+        return
     rows = jax.lax.broadcasted_iota(jnp.int32, (RT, CHUNK), 1)
     sel = rows == col[:, None]
     u_hit = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
@@ -106,8 +119,7 @@ def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
 
 
 def _kernel(ids_ref, cnt_ref, ent_ref, o_ref, id_ref, d_ref, t0_ref,
-            bbc_ref, tri_hbm, t_ref, g_ref, u_ref, v_ref):
-    n_chunks = bbc_ref.shape[1]
+            bbv_ref, tri_hbm, t_ref, g_ref, u_ref, v_ref):
     i_sub = pl.program_id(0)
 
     # Seed the running best-t with the caller's per-ray cap (the nearest
@@ -121,28 +133,39 @@ def _kernel(ids_ref, cnt_ref, ent_ref, o_ref, id_ref, d_ref, t0_ref,
     u_ref[:] = jnp.zeros_like(u_ref)
     v_ref[:] = jnp.zeros_like(v_ref)
 
-    ox, oy, oz = o_ref[:, 0], o_ref[:, 1], o_ref[:, 2]
-    ix, iy, iz = id_ref[:, 0], id_ref[:, 1], id_ref[:, 2]
+    def live_bits(s):
+        """One [RT, SG] slab test for ALL the supergroup's chunk AABBs,
+        reduced to a single scalar bitmask.
 
-    def live_any(bb, j):
-        tx0 = (bb[0, j] - ox) * ix
-        tx1 = (bb[3, j] - ox) * ix
-        ty0 = (bb[1, j] - oy) * iy
-        ty1 = (bb[4, j] - oy) * iy
-        tz0 = (bb[2, j] - oz) * iz
-        tz1 = (bb[5, j] - oz) * iz
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1))
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1))
-        live = (tmin <= tmax + EPSILON) & (tmax >= 0.0) & (tmin < t_ref[:, 0])
-        return jnp.any(live)
+        Gating each chunk separately cost a vector slab test + cross-lane
+        any() + vector->scalar sync PER CHUNK (~1 us each, ~38k/frame on
+        dragons — more than a third of kernel time). Batched, the whole
+        supergroup pays one narrow [RT, SG] test and ONE scalar handoff;
+        the per-chunk branches then test bits on the scalar unit. The
+        best-t term uses t as of the supergroup's start (not tightened
+        chunk-to-chunk) — conservative, so the merge output is exact.
+        """
+        bb = bbv_ref[s]                              # [6, SG]
+
+        def axis(k, o_col, i_col):
+            q0 = (bb[k, :][None, :] - o_col) * i_col           # [RT, SG]
+            q1 = (bb[k + 3, :][None, :] - o_col) * i_col
+            return jnp.minimum(q0, q1), jnp.maximum(q0, q1)
+        x0, x1 = axis(0, o_ref[:, 0:1], id_ref[:, 0:1])
+        y0, y1 = axis(1, o_ref[:, 1:2], id_ref[:, 1:2])
+        z0, z1 = axis(2, o_ref[:, 2:3], id_ref[:, 2:3])
+        tmin = jnp.maximum(jnp.maximum(x0, y0), z0)
+        tmax = jnp.minimum(jnp.minimum(x1, y1), z1)
+        live = (tmin <= tmax + EPSILON) & (tmax >= 0.0) \
+            & (tmin < t_ref[:, 0:1])
+        any_c = jnp.any(live, axis=0, keepdims=True)           # [1, SG]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, SG), 1)
+        pw = jnp.exp2(lane.astype(jnp.float32))                # exact 2^c
+        return jnp.sum(jnp.where(any_c, pw, 0.0)).astype(jnp.int32)
 
     n_live = cnt_ref[i_sub]
 
-    def body(scratch, sems):
+    def body(scratch, sems, cnt):
         def get_dma(slot, j):
             # j-th LIVE supergroup of this subtile (XLA pre-pass compacted
             # the live indices to the front of ids_ref's row)
@@ -156,55 +179,82 @@ def _kernel(ids_ref, cnt_ref, ent_ref, o_ref, id_ref, d_ref, t0_ref,
             j, _ = state
             slot = j % 2
 
-            # Early exit (front-to-back occlusion): supergroup j+1 — and
-            # by the entry-distance sort everything after it — can only
-            # contribute hits at t >= its frustum entry distance; once
-            # EVERY ray's running best is closer, the rest of the stream
-            # is occluded. The decision uses best-t as of before merging
-            # supergroup j (conservative by one step), because the next
-            # DMA must be started now to overlap with j's compute, and an
-            # exited loop must leave no DMA in flight.
-            maxt = jnp.max(t_ref[:, 0])
-            nxt_ok = (j + 1 < n_live) & (
-                ent_ref[i_sub, jnp.minimum(j + 1, n_super_last)] < maxt
-            )
-
-            @pl.when(nxt_ok)
+            # Prefetch supergroup j+1 IMMEDIATELY — before any compute.
+            # Gating the prefetch on the early-exit test (as v4 did) put
+            # [best-t vector reduce -> scalar sync -> DMA issue -> DMA
+            # latency] on the critical path of EVERY iteration; issued
+            # here, the copy lands behind this iteration's gate+MT work.
+            # The loop may exit with this DMA in flight — drained below.
+            @pl.when(j + 1 < n_live)
             def _():
                 get_dma((j + 1) % 2, j + 1).start()
 
             get_dma(slot, j).wait()
             s = ids_ref[i_sub, j]
+            bits = live_bits(s) if _ABLATE != "noop" else jnp.int32(0)
 
-            def inner(c, _):
-                cj = s * SG + c
+            # statically unrolled over the SG chunks: c is a Python int,
+            # so the scratch row read needs no dynamic sublane indexing,
+            # the loop pays no scalar-loop machinery, and each gate is a
+            # scalar bit test on live_bits' single mask
+            for c in range(SG):
+                if _ABLATE in ("noop", "nomt"):
+                    break
 
-                @pl.when((cj < n_chunks) & live_any(bbc_ref, cj))
-                def _():
+                @pl.when((bits >> c) & 1 != 0)
+                def _(c=c):
+                    if _ABLATE == "count":
+                        cnt[0] += 1.0       # chunks that passed the gate
                     _mt_merge(
-                        o_ref, d_ref,
-                        scratch[slot, pl.ds(c * ROWS, ROWS)],
-                        cj * CHUNK, t_ref, g_ref, u_ref, v_ref,
+                        o_ref, d_ref, scratch[slot, c, :],
+                        (s * SG + c) * CHUNK, t_ref, g_ref, u_ref, v_ref,
                     )
 
-                return 0
-
-            jax.lax.fori_loop(0, SG, inner, 0)
+            # Early exit (front-to-back occlusion): supergroup j+1 — and
+            # by the entry-distance sort everything after it — can only
+            # contribute hits at t >= its frustum entry distance; once
+            # EVERY ray's running best is closer, the rest of the stream
+            # is occluded. Checked AFTER the merge (tighter best-t than
+            # v4's pre-merge check), off the DMA critical path.
+            maxt = jnp.max(t_ref[:, 0])
+            nxt_ok = (j + 1 < n_live) & (
+                ent_ref[i_sub, jnp.minimum(j + 1, n_super_last)] < maxt
+            )
             return j + 1, nxt_ok
 
         # n_live == 0 (e.g. every ray parked) skips all DMA and compute —
         # this is what makes parked zero-weight wavefront levels free.
+        if _ABLATE == "count":
+            cnt[0] = 0.0
+            cnt[1] = 0.0
+
         @pl.when(n_live > 0)
         def _():
             get_dma(0, 0).start()
-            jax.lax.while_loop(
+            j_end, _ = jax.lax.while_loop(
                 lambda st: st[1], outer, (jnp.int32(0), jnp.bool_(True))
             )
 
+            # drain the unconditional prefetch of the never-visited
+            # supergroup when the early exit fired (a kernel must not
+            # end with a DMA in flight)
+            @pl.when(j_end < n_live)
+            def _():
+                get_dma(j_end % 2, j_end).wait()
+
+            if _ABLATE == "count":
+                cnt[1] = j_end.astype(jnp.float32)
+
+        if _ABLATE == "count":
+            # diagnostics: u = supergroup iterations, v = chunk gate passes
+            u_ref[:, 0] = jnp.full((RT,), cnt[1])
+            v_ref[:, 0] = jnp.full((RT,), cnt[0])
+
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((2, SG * ROWS, CHUNK), jnp.float32),
+        scratch=pltpu.VMEM((2, SG, N_PLANES * CHUNK), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
+        cnt=pltpu.SMEM((2,), jnp.float32),
     )
 
     # rays whose best never beat the cap are misses for THIS query
@@ -259,7 +309,7 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
     """Nearest triangle hit per ray.
 
     origins/directions: [R, 3] (R a multiple of RT)
-    tri_planes: [n_super, SG*ROWS, CHUNK] — supergroup-major plane rows
+    tri_planes: [n_super, SG, N_PLANES*CHUNK] — chunk rows x plane lanes
     bb: (bb_chunk [6, n_chunks], bb_super [6, n_super]) from
         pack_tri_planes; both SMEM-resident
     t_init: optional [R] per-ray search cap (e.g. the nearest
@@ -278,6 +328,10 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
     ids, cnt, ent = _live_supergroups(
         origins, inv_d, bb_super, None if t_init is None else t0[:, 0]
     )
+
+    # per-supergroup chunk AABBs, VMEM-resident for the batched gate:
+    # [n_super, 6, SG] (live_bits reads one supergroup's [6, SG] page)
+    bbv = jnp.transpose(bb_chunk.reshape(6, -1, SG), (1, 0, 2))
 
     grid = (r // RT,)
     out_shape = [
@@ -301,13 +355,13 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
             ray_spec,                                        # inv_d
             ray_spec,                                        # directions
             out_spec,                                        # t cap
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # chunk AABBs
             pl.BlockSpec(memory_space=pl.ANY),               # tri planes HBM
         ],
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(ids, cnt, ent, origins, inv_d, directions, t0, bb_chunk, tri_planes)
+    )(ids, cnt, ent, origins, inv_d, directions, t0, bbv, tri_planes)
     return t[:, 0], g[:, 0], u[:, 0], v[:, 0]
 
 
@@ -333,16 +387,15 @@ def pack_tri_planes_np(p1, e1, e2):
 
     p1p, e1p, e2p = f(p1), f(e1), f(e2)
 
-    def planes(x):
-        return x.reshape(nc, CHUNK, 3).transpose(0, 2, 1)
-
-    # explicit zeros + slice-assign: np.pad of the 3-D middle axis and a
-    # fancy concatenate both hit slow strided numpy paths at this size
-    tri = np.zeros((nc, ROWS, CHUNK), np.float32)
-    tri[:, 0:3] = planes(p1p)
-    tri[:, 3:6] = planes(e1p)
-    tri[:, 6:9] = planes(e2p)
-    tri = tri.reshape(n_super, SG * ROWS, CHUNK)
+    # [n_super, SG, N_PLANES*CHUNK]: sublane row = chunk, lanes = the 9
+    # plane rows side by side (zero-pad-free DMA; see layout note above)
+    tri = np.zeros((n_super, SG, N_PLANES * CHUNK), np.float32)
+    for k, x in enumerate((p1p, e1p, e2p)):
+        for comp in range(3):
+            r = 3 * k + comp
+            tri[:, :, r * CHUNK : (r + 1) * CHUNK] = (
+                x[:, comp].reshape(n_super, SG, CHUNK)
+            )
 
     v0 = p1p.reshape(nc, CHUNK, 3)
     v1 = (p1p + e1p).reshape(nc, CHUNK, 3)
@@ -363,7 +416,7 @@ def pack_tri_planes_np(p1, e1, e2):
 
 
 def pack_tri_planes(p1, e1, e2):
-    """[Nt,3] x3 -> (tri_planes [n_super, SG*ROWS, CHUNK],
+    """[Nt,3] x3 -> (tri_planes [n_super, SG, N_PLANES*CHUNK],
     (bb_chunk [6, n_chunks], bb_super [6, n_super])).
 
     Padding triangles are degenerate (p1=e1=e2=0 -> det=0 miss); padded
@@ -378,12 +431,12 @@ def pack_tri_planes(p1, e1, e2):
     n_super = nc // SG
 
     def planes(x):
-        return x.reshape(nc, CHUNK, 3).transpose(0, 2, 1)    # [nc,3,CHUNK]
+        # [n_super, SG, 3, CHUNK]: per chunk the 3 component rows
+        return x.reshape(n_super, SG, CHUNK, 3).transpose(0, 1, 3, 2)
 
-    tri = jnp.concatenate([planes(p1p), planes(e1p), planes(e2p)], axis=1)
-    # pad plane rows 9 -> ROWS for DMA sublane alignment
-    tri = jnp.pad(tri, ((0, 0), (0, ROWS - 9), (0, 0)))
-    tri = tri.reshape(n_super, SG * ROWS, CHUNK)
+    tri = jnp.concatenate(
+        [planes(p1p), planes(e1p), planes(e2p)], axis=2
+    ).reshape(n_super, SG, N_PLANES * CHUNK)
 
     v0 = p1p.reshape(nc, CHUNK, 3)
     v1 = (p1p + e1p).reshape(nc, CHUNK, 3)

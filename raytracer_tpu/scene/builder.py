@@ -303,6 +303,12 @@ class _Builder:
         out = {k: np.concatenate([b[k] for b in batches]) for k in keys}
         out["src_m"] = np.stack(src_ms)
         out["mat_src"] = np.stack([b["mat_src"] for b in batches])
+        # per-SOURCE attributes (tf_id order): every triangle of a batch
+        # shares them, so the device tables need one row per source
+        out["src_pattern_id"] = np.array(
+            [int(b["pattern_id"][0]) for b in batches], np.int32)
+        out["src_shadow"] = np.array(
+            [bool(b["shadow"][0]) for b in batches], bool)
         return out
 
     def finish(self, *, jitter, top_k, recursion_limit) -> T.Scene:
@@ -323,7 +329,8 @@ class _Builder:
                     n_csg_tris + np.argsort(keys, kind="stable"),
                 ])
                 tb = {
-                    k: (v if k in ("src_m", "mat_src") else v[order])
+                    k: (v if k in ("src_m", "mat_src", "src_pattern_id",
+                "src_shadow") else v[order])
                     for k, v in tb.items()
                 }
                 w = tb["w"]
@@ -354,14 +361,16 @@ class _Builder:
             all_mat = np.zeros((1, T.MAT_NCOLS), np.float32)
         mat_table, src_mat_id = np.unique(all_mat, axis=0, return_inverse=True)
         src_mat_id = src_mat_id.reshape(-1).astype(np.int32)
-        mat_id = np.zeros(max(g, 1), np.int32)
-        if g_nt:
-            mat_id[:g_nt] = src_mat_id[:g_nt]
-        pattern_id = np.full(max(g, 1), -1, np.int32)
-        shadow = np.ones(max(g, 1), bool)
         # non-triangle rows + one row per triangle SOURCE (individual
-        # triangle or mesh block) — see types.Scene.inv_tf
+        # triangle or mesh block) — see types.Scene.inv_tf; the attribute
+        # tables below share this compact indexing
         n_tf = 0 if tb is None else int(tb["tf_id"].max()) + 1
+        gc = max(g_nt + n_tf, 1)
+        mat_id = np.zeros(gc, np.int32)
+        if g_nt or n_tf:
+            mat_id[: g_nt + n_tf] = src_mat_id
+        pattern_id = np.full(gc, -1, np.int32)
+        shadow = np.ones(gc, bool)
         inv_tf = np.tile(np.eye(4, dtype=np.float32), (max(g_nt + n_tf, 1), 1, 1))
         normal_mat = np.tile(np.eye(3, dtype=np.float32), (max(g_nt + n_tf, 1), 1, 1))
         csg_members = []
@@ -390,9 +399,8 @@ class _Builder:
 
         # triangles (already world-space; see _triangle_batches)
         if nt:
-            mat_id[g_nt:g] = src_mat_id[g_nt + tb["tf_id"]]
-            pattern_id[g_nt:g] = tb["pattern_id"]
-            shadow[g_nt:g] = tb["shadow"]
+            pattern_id[g_nt : g_nt + n_tf] = tb["src_pattern_id"]
+            shadow[g_nt : g_nt + n_tf] = tb["src_shadow"]
             inv_src = np.linalg.inv(tb["src_m"]).astype(np.float32)
             inv_tf[g_nt : g_nt + n_tf] = inv_src
             normal_mat[g_nt : g_nt + n_tf] = inv_src.transpose(0, 2, 1)[:, :3, :3]
@@ -500,6 +508,15 @@ class _Builder:
             has_blend=has_blend,
             mesh_transparent=mesh_transparent,
             jitter=tuple(jitter) if jitter is not None else None,
+            mesh_all_shadow=(
+                bool(tb["src_shadow"].all()) if tb is not None else True
+            ),
+            mesh_uniform_refr=(
+                float(tb["mat_src"][0, T.MAT_REFRACTIVE])
+                if tb is not None and np.unique(
+                    tb["mat_src"][:, T.MAT_REFRACTIVE]).size == 1
+                else None
+            ),
             top_k=top_k,
             recursion_limit=recursion_limit,
         )

@@ -60,7 +60,7 @@ def test_cli_default_tile_is_adaptive(tmp_path, monkeypatch):
     # and the adaptive choice picks small tiles for mesh-heavy scenes
     mesh_static = SceneStatic(counts=(0, 0, 0, 0, 0, 30000))
     small_static = SceneStatic(counts=(2, 1, 0, 0, 0, 0))
-    assert pick_tile_rays(mesh_static) == 1 << 12
+    assert pick_tile_rays(mesh_static) == 1 << 15
     assert pick_tile_rays(small_static) == 1 << 17
 
 
