@@ -25,21 +25,26 @@ def _rust_rem(x, m):
     return x - jnp.trunc(x / m) * m
 
 
-def pattern_color(scene: T.Scene, gid, world_point, tgid=None):
+def pattern_color(scene: T.Scene, gid, world_point, tgid=None, pid=None,
+                  inv=None):
     """pattern_at_shape (patterns.rs:79-91) for a batch of shading points.
 
     gid [R] i32, world_point [R,3] -> color [R,3]. Rays whose material has
     no pattern get garbage (pattern 0); callers select with pattern_id>=0.
-    ``tgid``: precomputed compact rows (intersect.transform_row) to share
-    the tri->source gather with the caller's other attribute lookups.
+    ``tgid``/``pid``/``inv``: precomputed compact rows, pattern ids and
+    world->object inverses to share the per-source fetch with the
+    caller's other attribute lookups (render.shade_level).
     """
     from raytracer_tpu.core.intersect import transform_row
 
-    if tgid is None:
-        tgid = transform_row(scene, gid)
-    pid = jnp.maximum(table_gather(scene.pattern_id, tgid), 0)
-
-    inv = table_gather(scene.inv_tf, tgid)                       # [R,4,4]
+    if pid is None or inv is None:
+        if tgid is None:
+            tgid = transform_row(scene, gid)
+        if pid is None:
+            pid = table_gather(scene.pattern_id, tgid)
+        if inv is None:
+            inv = table_gather(scene.inv_tf, tgid)               # [R,4,4]
+    pid = jnp.maximum(pid, 0)
     obj_p = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point, precision="highest") + inv[:, :3, 3]
     pinv = table_gather(scene.pat_inv, pid)
     p = jnp.einsum("rij,rj->ri", pinv[:, :3, :3], obj_p, precision="highest") + pinv[:, :3, 3]

@@ -155,9 +155,27 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     # ONE tri->source row gather shared by every per-primitive attribute
     # (normals' transform, material id, pattern id): per-gid [G~1M]
     # attribute tables turned each of these into its own ~250us/32k-ray
-    # gather custom-call in the r3 device trace.
+    # gather custom-call in the r3 device trace. The per-source tables
+    # are then fetched through ONE one-hot matmul against their
+    # concatenation — each separate table_gather materializes its own
+    # [R, Gc] one-hot (~46 MB of HBM traffic per lookup at 32k rays).
     tgid = I.transform_row(scene, gid)
-    normalv = SH.normal_at(scene, gid, point, u, v, tgid=tgid)
+    g_c = scene.inv_tf.shape[0]
+    src_tab = jnp.concatenate([
+        scene.inv_tf.reshape(g_c, 16),
+        scene.normal_mat.reshape(g_c, 9),
+        scene.mat_id.astype(jnp.float32)[:, None],
+        scene.pattern_id.astype(jnp.float32)[:, None],
+    ], axis=1)                                       # [Gc, 27]
+    rows = I.table_gather(src_tab, tgid)             # [R, 27]
+    inv_rows = rows[:, :16].reshape(-1, 4, 4)
+    nmat_rows = rows[:, 16:25].reshape(-1, 3, 3)
+    mat_idx = rows[:, 25].astype(jnp.int32)
+    pat_id = rows[:, 26].astype(jnp.int32)
+
+    normalv = SH.normal_at(
+        scene, gid, point, u, v, tgid=tgid, inv=inv_rows, nmat=nmat_rows
+    )
     flip = jnp.sum(normalv * eyev, -1) < 0.0
     normalv = jnp.where(flip[:, None], -normalv, normalv)
     over = point + EPSILON * normalv
@@ -166,11 +184,9 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     # culls reject it (their surface term is masked to 0 below anyway)
     over_sh, _ = park_rays(over, d, has)
 
-    # compact-row -> material row id -> row from the tiny unique-material
-    # table; both lookups are exact one-hot reduces, no gathers.
-    mat_rows = I.table_gather(scene.mat, I.table_gather(scene.mat_id, tgid))
-    pat = pattern_color(scene, gid, over, tgid=tgid)
-    has_pat = I.table_gather(scene.pattern_id, tgid) >= 0
+    mat_rows = I.table_gather(scene.mat, mat_idx)
+    pat = pattern_color(scene, gid, over, pid=pat_id, inv=inv_rows)
+    has_pat = pat_id >= 0
     base_color = jnp.where(has_pat[:, None], pat, mat_rows[:, T.MAT_COLOR])
 
     surface = jnp.zeros_like(base_color)
@@ -239,7 +255,7 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     )
 
 
-def _packed_shade_level(scene: T.Scene, o, d, w, key):
+def _packed_shade_level(scene: T.Scene, o, d, w, key, *, thread_perm=False):
     """shade_level with live rays compacted to the front, run at the
     narrowest width (R, R/2, R/4, R/16) that holds them.
 
@@ -251,6 +267,12 @@ def _packed_shade_level(scene: T.Scene, o, d, w, key):
     live-first permutation + a narrower batch is EXACT; the tail is
     parked padding. Branch selection is a lax.cond chain, so each tile
     pays only for the width its level actually needs.
+
+    ``thread_perm``: return results IN SORTED ORDER plus the sort
+    permutation instead of un-permuting (7 full-width [R, 3] gather
+    custom-calls per level in the r3 device trace). The caller threads
+    the composed permutation through the levels (color_at) and
+    un-permutes the accumulated image once per tile.
     """
     r = o.shape[0]
     live = jnp.any(w > 0.0, -1)
@@ -260,10 +282,10 @@ def _packed_shade_level(scene: T.Scene, o, d, w, key):
     # dragons scene — a tile's secondary origins are already screen-
     # local, so the subtile frusta are as tight as they get.)
     order = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int8), stable=True)
-    inv_order = jnp.argsort(order)
     o_s, d_s, w_s = o[order], d[order], w[order]
     po = jnp.asarray(PARK_ORIGIN, o.dtype)
     pd = jnp.asarray(PARK_DIR, d.dtype)
+    inv_order = None if thread_perm else jnp.argsort(order)
 
     def run(width):
         def branch(_):
@@ -281,6 +303,8 @@ def _packed_shade_level(scene: T.Scene, o, d, w, key):
             out = [pad(colored, zero)]
             for so, sd, sw in (refl, refr):
                 out += [pad(so, po), pad(sd, pd), pad(sw, zero)]
+            if thread_perm:
+                return tuple(out)
             # undo the live-first permutation
             return tuple(x[inv_order] for x in out)
 
@@ -298,7 +322,8 @@ def _packed_shade_level(scene: T.Scene, o, d, w, key):
         ),
         args,
     )
-    return parts[0], tuple(parts[1:4]), tuple(parts[4:7])
+    out = parts[0], tuple(parts[1:4]), tuple(parts[4:7])
+    return out + (order,) if thread_perm else out
 
 
 def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
@@ -311,6 +336,13 @@ def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
 
     o, d = origins, directions
     w = jnp.ones((r, 3))
+    # Composed live-first permutation (slot -> original ray row): packed
+    # levels keep their outputs SORTED and the image accumulator follows
+    # the current order; one argsort+gather per tile at the end replaces
+    # 7 full-width un-permute gathers per level. Only sound while the
+    # level width stays r (merged or single spawn streams — has_blend
+    # concatenation doubles widths and keeps the legacy un-permute).
+    perm = None
     for level in range(limit + 1):
         lkey = jax.random.fold_in(key, level) if key is not None else None
         if level == 0:
@@ -334,21 +366,37 @@ def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
                 and o.shape[0] >= 4096
                 and o.shape[0] % 16 == 0
             )
+            thread_perm = pack and not st.has_blend
 
             def _live(args):
                 if pack:
-                    return _packed_shade_level(scene, *args)
+                    return _packed_shade_level(
+                        scene, *args, thread_perm=thread_perm
+                    )
                 return shade_level(scene, *args)
 
             def _dead(args):
                 o_, d_, w_, _ = args
                 z = jnp.zeros_like(w_)
-                return (z, (o_, d_, z), (o_, d_, z))
+                out = (z, (o_, d_, z), (o_, d_, z))
+                if thread_perm:
+                    out += (jnp.arange(o_.shape[0], dtype=jnp.int32),)
+                return out
 
-            colored, refl, refr = jax.lax.cond(
+            result = jax.lax.cond(
                 jnp.any(w > 0.0), _live, _dead, (o, d, w, lkey)
             )
-        img = img + colored.reshape(-1, r, 3).sum(0)
+            if thread_perm:
+                colored, refl, refr, order = result
+                perm = order if perm is None else perm[order]
+                # image follows the current slot order; the spawn merge
+                # below consumes refl/refr in that same order
+                img = img[order] + colored
+                colored = None
+            else:
+                colored, refl, refr = result
+        if colored is not None:
+            img = img + colored.reshape(-1, r, 3).sum(0)
         if level == limit:
             break
         spawns = []
@@ -377,6 +425,9 @@ def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
         # (only reflective/transparent hit points spawn), and parked rays
         # cost the mesh path nothing
         o, d = park_rays(o, d, jnp.any(w > 0.0, -1))
+    if perm is not None:
+        # undo the composed live-first permutation once per tile
+        img = img[jnp.argsort(perm)]
     return img
 
 

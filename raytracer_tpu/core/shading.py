@@ -23,13 +23,15 @@ def normalize(v, axis=-1):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), 1e-12)
 
 
-def normal_at(scene: T.Scene, gid, world_point, u, v, tgid=None):
+def normal_at(scene: T.Scene, gid, world_point, u, v, tgid=None, inv=None,
+              nmat=None):
     """shapes.rs:187-202: world_to_object -> local_normal_at -> world.
 
     Family dispatch is by static gid ranges; every family's formula is
-    evaluated and where-selected (no divergence on TPU). ``tgid``:
-    precomputed compact rows (intersect.transform_row), shared with the
-    caller's material/pattern lookups.
+    evaluated and where-selected (no divergence on TPU). ``tgid``/``inv``/
+    ``nmat``: precomputed compact rows and per-ray transform matrices,
+    shared with the caller's material/pattern lookups (render.shade_level
+    fetches them all in one one-hot matmul).
     """
     st = scene.static
     off = st.offsets
@@ -40,7 +42,8 @@ def normal_at(scene: T.Scene, gid, world_point, u, v, tgid=None):
     # compact transform tables: one row per SOURCE (types.Scene.inv_tf)
     if tgid is None:
         tgid = transform_row(scene, gid)
-    inv = table_gather(scene.inv_tf, tgid)
+    if inv is None:
+        inv = table_gather(scene.inv_tf, tgid)
     lp = jnp.einsum("rij,rj->ri", inv[:, :3, :3], world_point, precision="highest") + inv[:, :3, 3]
     lx, ly, lz = lp[:, 0], lp[:, 1], lp[:, 2]
 
@@ -95,7 +98,11 @@ def normal_at(scene: T.Scene, gid, world_point, u, v, tgid=None):
         local = jnp.where(in_fam[:, None], n_fam, local)
 
     # non-triangle: local normal -> world via normal matrix + normalize
-    world_n = normalize(jnp.einsum("rij,rj->ri", table_gather(scene.normal_mat, tgid), local, precision="highest"))
+    if nmat is None:
+        nmat = table_gather(scene.normal_mat, tgid)
+    world_n = normalize(
+        jnp.einsum("rij,rj->ri", nmat, local, precision="highest")
+    )
 
     # triangles: stored world-space normals
     if nt:
