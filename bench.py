@@ -243,6 +243,23 @@ def roofline_estimate(cam, scene, frame_dt):
         return dict(error=str(e)[:120])
 
 
+def _section(fn, *args):
+    """Run one bench section in isolation: a failure (OOM, regression)
+    becomes an {ok: False, error} row instead of destroying the record of
+    every other section (round 3 lost its entire artifact to one OOM)."""
+    import traceback
+
+    try:
+        out = fn(*args)
+        if isinstance(out, dict):
+            out.setdefault("ok", True)
+        return out
+    except Exception as e:
+        tb = traceback.format_exc().strip().splitlines()
+        return {"ok": False, "error": f"{type(e).__name__}: {e}"[:400],
+                "error_at": tb[-2][:200] if len(tb) >= 2 else ""}
+
+
 def main():
     smoke = "--smoke" in sys.argv
     if smoke:
@@ -255,18 +272,31 @@ def main():
         }))
         return
 
-    dragons, cam, scene, dt = bench_dragons(5)
-    flagship = bench_flagship(5)
-    soft = bench_soft_shadows(3)
-    glass = bench_glass_mesh(3)
-    train = bench_train_step(3)
-    roof = roofline_estimate(cam, scene, dt)
+    headline = _section(bench_dragons, 5)
+    if isinstance(headline, tuple):  # success: (dict, cam, scene, dt)
+        dragons, cam, scene, dt = headline
+        dragons.setdefault("ok", True)
+    else:  # _section error dict
+        dragons, cam, scene, dt = headline, None, None, None
 
+    flagship = _section(bench_flagship, 5)
+    soft = _section(bench_soft_shadows, 3)
+    glass = _section(bench_glass_mesh, 3)
+    train = _section(bench_train_step, 3)
+    roof = (
+        _section(roofline_estimate, cam, scene, dt)
+        if cam is not None
+        else {"ok": False, "error": "dragons section failed"}
+    )
+
+    ok = isinstance(dragons, dict) and dragons.get("ok", False)
     print(json.dumps({
         "metric": "dragons_equiv_1.06M_tris_px_per_sec_1200x480_depth4",
-        "value": dragons["px_per_sec"],
+        "value": dragons.get("px_per_sec") if ok else None,
         "unit": "pixels/sec",
-        "vs_baseline": round(dragons["px_per_sec"] / BASELINE_PX_PER_SEC, 2),
+        "vs_baseline": (
+            round(dragons["px_per_sec"] / BASELINE_PX_PER_SEC, 2) if ok else None
+        ),
         "matrix": {
             "dragons_equiv": dragons,
             "flagship_1280x720": flagship,
@@ -277,6 +307,7 @@ def main():
             "baseline_px_per_sec": round(BASELINE_PX_PER_SEC, 1),
         },
     }))
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

@@ -326,13 +326,26 @@ def _packed_shade_level(scene: T.Scene, o, d, w, key, *, thread_perm=False):
     return out + (order,) if thread_perm else out
 
 
-def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
-    """world.rs:91-99 over a ray batch, bounce tree unrolled."""
+def color_at(scene: T.Scene, origins, directions, key=None, limit=None,
+             *, remat=False):
+    """world.rs:91-99 over a ray batch, bounce tree unrolled.
+
+    ``remat=True`` wraps every bounce level in :func:`jax.checkpoint` so
+    reverse-mode autodiff recomputes the level's trace instead of storing
+    its residuals. A blend scene's level width grows to ``2^depth * R``
+    (16R at the default depth 4), and storing every level's intermediates
+    put a 131k-ray train step at 23.4 GB — over HBM. With per-level remat
+    only the level *inputs* (o, d, w: 3 arrays) live across the backward
+    pass, bounding grad memory by the widest single level's forward.
+    Identity for forward-only evaluation (remat changes vjp only).
+    """
     st = scene.static
     if limit is None:
         limit = st.recursion_limit
     r = origins.shape[0]
     img = jnp.zeros((r, 3))
+
+    ckpt = jax.checkpoint if remat else (lambda f: f)
 
     o, d = origins, directions
     w = jnp.ones((r, 3))
@@ -346,7 +359,7 @@ def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
     for level in range(limit + 1):
         lkey = jax.random.fold_in(key, level) if key is not None else None
         if level == 0:
-            colored, refl, refr = shade_level(scene, o, d, w, lkey)
+            colored, refl, refr = ckpt(shade_level)(scene, o, d, w, lkey)
         else:
             # Whole-level skip: once every ray of this tile is parked
             # (zero weight), the level's FIXED costs — supergroup
@@ -368,24 +381,28 @@ def color_at(scene: T.Scene, origins, directions, key=None, limit=None):
             )
             thread_perm = pack and not st.has_blend
 
-            def _live(args):
-                if pack:
-                    return _packed_shade_level(
-                        scene, *args, thread_perm=thread_perm
-                    )
-                return shade_level(scene, *args)
+            def _level(scene, o, d, w, lkey):
+                def _live(args):
+                    sc, *rest = args
+                    if pack:
+                        return _packed_shade_level(
+                            sc, *rest, thread_perm=thread_perm
+                        )
+                    return shade_level(sc, *rest)
 
-            def _dead(args):
-                o_, d_, w_, _ = args
-                z = jnp.zeros_like(w_)
-                out = (z, (o_, d_, z), (o_, d_, z))
-                if thread_perm:
-                    out += (jnp.arange(o_.shape[0], dtype=jnp.int32),)
-                return out
+                def _dead(args):
+                    _, o_, d_, w_, _k = args
+                    z = jnp.zeros_like(w_)
+                    out = (z, (o_, d_, z), (o_, d_, z))
+                    if thread_perm:
+                        out += (jnp.arange(o_.shape[0], dtype=jnp.int32),)
+                    return out
 
-            result = jax.lax.cond(
-                jnp.any(w > 0.0), _live, _dead, (o, d, w, lkey)
-            )
+                return jax.lax.cond(
+                    jnp.any(w > 0.0), _live, _dead, (scene, o, d, w, lkey)
+                )
+
+            result = ckpt(_level)(scene, o, d, w, lkey)
             if thread_perm:
                 colored, refl, refr, order = result
                 perm = order if perm is None else perm[order]

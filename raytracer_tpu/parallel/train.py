@@ -64,19 +64,86 @@ def partition_scene(scene: T.Scene, *, include_geometry: bool = False):
     return params, recombine
 
 
-def render_loss(params, recombine, origins, directions, target, key=None):
-    """Mean-squared error between the rendered ray colors and ``target``."""
+def render_loss(params, recombine, origins, directions, target, key=None,
+                *, remat=True):
+    """Mean-squared error between the rendered ray colors and ``target``.
+
+    ``remat=True`` (default) recomputes each bounce level in the backward
+    pass instead of storing its residuals (see ``color_at``): a blend
+    scene's deepest level is 16x the ray batch wide, and without remat a
+    131k-ray gradient needs 23.4 GB of HBM — 1.5x the chip.
+    """
     scene = recombine(params)
-    img = color_at(scene, origins, directions, key)
+    img = color_at(scene, origins, directions, key, remat=remat)
     return jnp.mean((img - target) ** 2)
 
 
-def train_step(scene: T.Scene, origins, directions, target, *, lr=1e-2, key=None):
-    """One SGD step on all float scene parameters. Returns (loss, scene')."""
-    params, recombine = partition_scene(scene)
-    loss, grads = jax.value_and_grad(render_loss)(
-        params, recombine, origins, directions, target, key
+def _grad_microbatched(params, recombine, origins, directions, target, key,
+                       n_micro, micro_sharding=None):
+    """value_and_grad of :func:`render_loss`, accumulated over ``n_micro``
+    sequential microbatches of the ray axis (a lax.scan), so grad memory
+    is bounded by one microbatch regardless of total batch size. Exact:
+    MSE over equal-size chunks averages to the full-batch MSE, and grads
+    are linear in the loss.
+
+    ``micro_sharding``: sharding for the reshaped [n_micro, m, 3] stack —
+    under a device mesh the *ray* axis (axis 1) must stay sharded while
+    the scan axis is replicated, which reshape alone won't propagate.
+    """
+    n = origins.shape[0]
+    if n % n_micro:
+        raise ValueError(f"batch {n} not divisible by {n_micro} microbatches")
+    m = n // n_micro
+    o = origins.reshape(n_micro, m, 3)
+    d = directions.reshape(n_micro, m, 3)
+    t = target.reshape(n_micro, m, 3)
+    if micro_sharding is not None:
+        o, d, t = (
+            jax.lax.with_sharding_constraint(x, micro_sharding)
+            for x in (o, d, t)
+        )
+    keys = (
+        jax.random.split(key, n_micro)
+        if key is not None
+        else jnp.zeros((n_micro, 0), jnp.uint32)
     )
+
+    def body(carry, xs):
+        loss_sum, grad_sum = carry
+        o_, d_, t_, k_ = xs
+        k_ = k_ if key is not None else None
+        loss, grads = jax.value_and_grad(render_loss)(
+            params, recombine, o_, d_, t_, k_
+        )
+        grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+        return (loss_sum + loss, grad_sum), None
+
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    (loss_sum, grad_sum), _ = jax.lax.scan(
+        body, (jnp.zeros(()), zero_grads), (o, d, t, keys)
+    )
+    scale = 1.0 / n_micro
+    return loss_sum * scale, jax.tree.map(lambda g: g * scale, grad_sum)
+
+
+def train_step(scene: T.Scene, origins, directions, target, *, lr=1e-2,
+               key=None, n_micro=None):
+    """One SGD step on all float scene parameters. Returns (loss, scene').
+
+    ``n_micro``: split the ray batch into that many sequential microbatches
+    with gradient accumulation (exact, bounds grad memory by one
+    microbatch). None = single full-batch gradient (per-level remat still
+    bounds it by the widest bounce level — see :func:`render_loss`).
+    """
+    params, recombine = partition_scene(scene)
+    if n_micro is not None and n_micro > 1:
+        loss, grads = _grad_microbatched(
+            params, recombine, origins, directions, target, key, n_micro
+        )
+    else:
+        loss, grads = jax.value_and_grad(render_loss)(
+            params, recombine, origins, directions, target, key
+        )
     new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
     return loss, recombine(new_params)
 
@@ -120,7 +187,7 @@ def make_optax_step(optimizer, *, param_filter=None):
     return init_fn, step_fn
 
 
-def make_sharded_train_step(mesh: Mesh, *, lr=1e-2):
+def make_sharded_train_step(mesh: Mesh, *, lr=1e-2, n_micro=None):
     """A jitted train step with rays/targets sharded and params replicated.
 
     The returned fn has signature ``(scene, origins, directions, target,
@@ -128,6 +195,10 @@ def make_sharded_train_step(mesh: Mesh, *, lr=1e-2):
     against the sharded ray batch become one all-reduce, inserted by XLA.
     On a 2-D host x chip mesh (make_host_mesh) rays shard over both axes
     and the grad reduction happens chip-first (ICI) then host (DCN).
+
+    ``n_micro``: sequential gradient-accumulation microbatches per chip
+    (the ray axis is split *after* sharding, so each chip scans its own
+    shard); bounds per-chip grad memory like :func:`train_step`.
     """
     ray_sh = NamedSharding(mesh, P(mesh.axis_names))
     rep = NamedSharding(mesh, P())
@@ -141,9 +212,16 @@ def make_sharded_train_step(mesh: Mesh, *, lr=1e-2):
         params = jax.tree.map(
             lambda p: jax.lax.with_sharding_constraint(p, rep), params
         )
-        loss, grads = jax.value_and_grad(render_loss)(
-            params, recombine, origins, directions, target, key
-        )
+        if n_micro is not None and n_micro > 1:
+            micro_sh = NamedSharding(mesh, P(None, mesh.axis_names))
+            loss, grads = _grad_microbatched(
+                params, recombine, origins, directions, target, key, n_micro,
+                micro_sharding=micro_sh,
+            )
+        else:
+            loss, grads = jax.value_and_grad(render_loss)(
+                params, recombine, origins, directions, target, key
+            )
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return loss, recombine(new_params)
 
