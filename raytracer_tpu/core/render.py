@@ -42,24 +42,41 @@ def shadowed(scene: T.Scene, points, light_pos):
     return I.shadow_blocked(scene, points, pos)[:, 0]
 
 
-def _det_jitter_tables(static: T.SceneStatic, s_total):
-    """Deterministic jitter constants per sample (lights.rs:77-81 test hook).
+def _det_jitter_tables(static: T.SceneStatic, s_total, phase=0):
+    """Deterministic jitter constants per sample (lights.rs:77-121 test hook).
 
-    The reference cycles one global sequence; intensity_at consumes 2 draws
-    per sample, then lighting consumes 2 more per sample. For sequence
-    lengths 1 and 2 (all the reference's tests) this reproduces it exactly.
+    The reference cycles ONE global sequence shared by every area light:
+    per shading point, ``intensity_at`` consumes 2 draws per sample in
+    u-major order (u jitter then v jitter, lights.rs:105-117 inside the
+    nested u/v loops of lights.rs:123-131), then ``lighting``'s area
+    branch consumes 2 more per sample in the same order
+    (materials.rs:139-142). This simulates that cycle exactly, for any
+    sequence length, starting the shading point at cycle ``phase`` —
+    the caller advances the phase by ``4 * samples`` per preceding area
+    light, matching the shared iterator across the lights of one
+    shade_hit (world.rs:66-76).
+
+    Phase ACROSS shading points cannot be pinned: the reference renders
+    pixels on a rayon pool with a thread-local iterator (camera.rs:66-84),
+    so the per-pixel phase is schedule-dependent in the reference itself.
+    Starting each shading point at phase 0 is the one reproducible choice
+    and coincides with the reference wherever the cycle is phase-invariant
+    (sequence length dividing 2, i.e. every reference test).
     """
     seq = static.jitter
     L = len(seq)
-    ju1 = np.array([seq[(2 * c) % L] for c in range(s_total)], np.float32)
-    jv1 = np.array([seq[(2 * c + 1) % L] for c in range(s_total)], np.float32)
-    ju2 = np.array([seq[(2 * s_total + 2 * c) % L] for c in range(s_total)], np.float32)
-    jv2 = np.array([seq[(2 * s_total + 2 * c + 1) % L] for c in range(s_total)], np.float32)
-    return ju1, jv1, ju2, jv2
+
+    def tab(off):
+        return np.array(
+            [seq[(phase + off + 2 * c) % L] for c in range(s_total)],
+            np.float32,
+        )
+
+    return tab(0), tab(1), tab(2 * s_total), tab(2 * s_total + 1)
 
 
 def _area_light_contrib(scene, ai, over, eyev, normalv, base_color, mat_rows,
-                        key, live=None):
+                        key, live=None, jitter_phase=0):
     """Shadow fraction + sampled Phong for area light ``ai``.
 
     Everything stays in [R, S] form: the shadow trace goes through
@@ -82,7 +99,8 @@ def _area_light_contrib(scene, ai, over, eyev, normalv, base_color, mat_rows,
     deterministic = st.jitter is not None
     if deterministic:
         ju1, jv1, ju2, jv2 = (
-            jnp.asarray(x)[None, :] for x in _det_jitter_tables(st, s_total)
+            jnp.asarray(x)[None, :]
+            for x in _det_jitter_tables(st, s_total, jitter_phase)
         )                                                    # [1, S]
     else:
         jj = jax.random.uniform(key, (r, s_total, 4))        # per-ray per-sample
@@ -204,12 +222,14 @@ def shade_level(scene: T.Scene, o, d, weight, key):
         ds = SH.phong(mat_rows, base_color, lint[None], lpos[None], over, eyev, normalv)
         surface = surface + ambient + ds * inten[:, None]
 
+    jitter_phase = 0  # the shared cycle advances 4*S per area light
     for ai in range(len(st.area_steps)):
         lkey = jax.random.fold_in(key, 7919 + ai) if key is not None else None
         surface = surface + _area_light_contrib(
             scene, ai, over_sh, eyev, normalv, base_color, mat_rows, lkey,
-            live=has,
+            live=has, jitter_phase=jitter_phase,
         )
+        jitter_phase += 4 * st.area_steps[ai][0] * st.area_steps[ai][1]
 
     surface = jnp.where(has[:, None], surface, 0.0)
 

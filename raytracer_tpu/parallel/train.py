@@ -126,6 +126,21 @@ def _grad_microbatched(params, recombine, origins, directions, target, key,
     return loss_sum * scale, jax.tree.map(lambda g: g * scale, grad_sum)
 
 
+def render_loss_and_grad(params, recombine, origins, directions, target,
+                         key=None, *, n_micro=None):
+    """(loss, grads) of :func:`render_loss` w.r.t. ``params`` — the public
+    entry for custom optimization loops. ``n_micro`` accumulates gradients
+    over that many sequential ray microbatches (exact; bounds memory by
+    one microbatch — how a 1280x720 frame's gradient fits on one chip)."""
+    if n_micro is not None and n_micro > 1:
+        return _grad_microbatched(
+            params, recombine, origins, directions, target, key, n_micro
+        )
+    return jax.value_and_grad(render_loss)(
+        params, recombine, origins, directions, target, key
+    )
+
+
 def train_step(scene: T.Scene, origins, directions, target, *, lr=1e-2,
                key=None, n_micro=None):
     """One SGD step on all float scene parameters. Returns (loss, scene').
@@ -136,14 +151,9 @@ def train_step(scene: T.Scene, origins, directions, target, *, lr=1e-2,
     bounds it by the widest bounce level — see :func:`render_loss`).
     """
     params, recombine = partition_scene(scene)
-    if n_micro is not None and n_micro > 1:
-        loss, grads = _grad_microbatched(
-            params, recombine, origins, directions, target, key, n_micro
-        )
-    else:
-        loss, grads = jax.value_and_grad(render_loss)(
-            params, recombine, origins, directions, target, key
-        )
+    loss, grads = render_loss_and_grad(
+        params, recombine, origins, directions, target, key, n_micro=n_micro
+    )
     new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
     return loss, recombine(new_params)
 

@@ -130,3 +130,38 @@ def test_render_quantize_matches_host_quantization(default_world):
     # exact u8 -> float -> u8 round trip for all 256 values
     k = np.arange(256, dtype=np.uint8)
     assert (quantize_u8(k.astype(np.float32) / 255.0) == k).all()
+
+
+def test_megapixel_ascii_decode_native_and_fallback():
+    """from_ppm_bytes on a megapixel ASCII P3 texture: the native
+    integer-stream scanner (native.ppm_decode_samples, wired as the fast
+    path) and the pure-Python tokenizer must agree exactly, including
+    '#' comments and a non-255 maxval."""
+    from raytracer_tpu import native
+    from raytracer_tpu.canvas import from_ppm_bytes, to_ppm_bytes
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (640, 520, 3), dtype=np.uint8)  # ~1.0 Msample
+    data = to_ppm_bytes(img.astype(np.float32) / 255.0)
+    # inject a comment line after the header to exercise comment skipping
+    head, _, rest = data.partition(b"\n255\n")
+    data = head + b"\n# a comment\n255\n" + rest
+    out = from_ppm_bytes(data)
+    assert out.shape == (640, 520, 3)
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-6)
+
+    if native.available():
+        # force the pure-Python path and compare
+        vals = native.ppm_decode_samples(data[2:], 3 + 640 * 520 * 3)
+        assert vals is not None and len(vals) == 3 + 640 * 520 * 3
+        import raytracer_tpu.canvas as C
+        tokens = C._ppm_tokens(data)
+        w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+        py = np.array(tokens[4:4 + w * h * 3], dtype=np.float32) / maxval
+        np.testing.assert_array_equal(out.reshape(-1), py)
+
+    # maxval normalization through the fast path
+    small = b"P3\n2 1\n100\n100 50 0  25 75 100\n"
+    out = from_ppm_bytes(small)
+    np.testing.assert_allclose(
+        out.reshape(-1), [1.0, 0.5, 0.0, 0.25, 0.75, 1.0], atol=1e-6)

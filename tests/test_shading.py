@@ -187,3 +187,47 @@ def test_area_light_lighting_oracle():
             sc, jnp.asarray([eye]), jnp.asarray([d], jnp.float32), limit=0
         )[0])
         assert np.allclose(got, expected, atol=2e-3), (pt, got)
+
+
+def test_det_jitter_cycle_property():
+    """Property test of the deterministic jitter tables against a direct
+    Python simulation of the reference's single cycling iterator
+    (lights.rs:77-121): per shading point, intensity_at draws (u, v)
+    jitter per sample in u-major order (lights.rs:123-131), then the
+    lighting pass draws 2 more per sample (materials.rs:139-142), all
+    from ONE shared cycle that continues across the area lights of a
+    shade_hit (world.rs:66-76). Checked for sequence lengths 1..5 and
+    several grid shapes, including multi-light phase continuation."""
+    import itertools
+    from raytracer_tpu.core.render import _det_jitter_tables
+
+    def rust_cycle(seq, lights_steps):
+        """What the Rust test build would draw for one shading point."""
+        it = itertools.cycle(seq)
+        out = []
+        for us, vs in lights_steps:
+            s = us * vs
+            intensity = [(next(it), next(it)) for _ in range(s)]  # u-major
+            lighting = [(next(it), next(it)) for _ in range(s)]
+            out.append((intensity, lighting))
+        return out
+
+    class FakeStatic:
+        def __init__(self, jitter):
+            self.jitter = jitter
+
+    seqs = [tuple((i + 1) / (L + 1) for i in range(L)) for L in range(1, 6)]
+    grids = [[(1, 1)], [(2, 2)], [(3, 2)], [(2, 3), (1, 4)], [(5, 1), (2, 2)]]
+    for seq in seqs:
+        for lights_steps in grids:
+            expected = rust_cycle(seq, lights_steps)
+            phase = 0
+            for (us, vs), (exp_int, exp_lit) in zip(lights_steps, expected):
+                s = us * vs
+                ju1, jv1, ju2, jv2 = _det_jitter_tables(
+                    FakeStatic(seq), s, phase)
+                got_int = list(zip(ju1.tolist(), jv1.tolist()))
+                got_lit = list(zip(ju2.tolist(), jv2.tolist()))
+                assert np.allclose(got_int, exp_int), (seq, us, vs, phase)
+                assert np.allclose(got_lit, exp_lit), (seq, us, vs, phase)
+                phase += 4 * s
