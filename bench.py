@@ -213,6 +213,42 @@ def bench_soft_shadows(iters):
     )
 
 
+def bench_csg_area_light(iters):
+    """csg.yaml's 6-primitive CSG tree lit by soft_shadows.yaml's 10x10
+    area light (100 shadow rays per shading point) at 640x360 depth-4:
+    the CSG x area-light combination runs the factored shadow path
+    (quadric + dense CSG columns through apply_csg on the flat [R*S, C]
+    t-table) instead of materializing full candidate tables per sample."""
+    import jax
+    from raytracer_tpu.scene.yaml_scene import parse_scene
+    from raytracer_tpu.core.render import render
+
+    src = (REF / "scenes/csg.yaml").read_text()
+    src = src.replace(
+        "- add: point-light\n  at: [-10, 10, -10]\n  intensity: [1, 1, 1]",
+        "- add: area-light\n  corner: [-1, 2, 4]\n  uvec: [2, 0, 0]\n"
+        "  vvec: [0, 2, 0]\n  usteps: 10\n  vsteps: 10\n"
+        "  intensity: [1.5, 1.5, 1.5]",
+    ).replace("width: 1280", "width: 640").replace("height: 720",
+                                                   "height: 360")
+    cam, scene = parse_scene(src)
+    assert scene.static.area_steps == ((10, 10),)
+    assert scene.static.csg_nodes
+    key = jax.random.PRNGKey(0)
+    render(scene, cam, key=key, quantize=True)
+    dt, img = median_time(
+        lambda: render(scene, cam, key=key, quantize=True), iters
+    )
+    assert np.isfinite(img.astype(np.float32)).all()
+    px = cam.hsize * cam.vsize
+    return dict(
+        px_per_sec=round(px / dt, 1),
+        seconds_per_frame=round(dt, 3),
+        shadow_rays_per_hit=100,
+        resolution=f"{cam.hsize}x{cam.vsize}",
+    )
+
+
 def roofline_estimate(cam, scene, frame_dt):
     """FLOP/s and HBM GB/s achieved on the dragons tile program, from the
     compiled executable's cost analysis. Bytes include XLA's per-element
@@ -281,6 +317,7 @@ def main():
 
     flagship = _section(bench_flagship, 5)
     soft = _section(bench_soft_shadows, 3)
+    csg_al = _section(bench_csg_area_light, 3)
     glass = _section(bench_glass_mesh, 3)
     train = _section(bench_train_step, 3)
     roof = (
@@ -301,6 +338,7 @@ def main():
             "dragons_equiv": dragons,
             "flagship_1280x720": flagship,
             "soft_shadows": soft,
+            "csg_area_light_10x10": csg_al,
             "glass_mesh_354k_tris": glass,
             "train_step_fwd_bwd": train,
             "roofline_dragons": roof,

@@ -740,8 +740,12 @@ def shadow_blocked(scene: T.Scene, over, pos, live=None):
     reject them (a recomputed direction toward the light would
     otherwise point straight back into the scene).
 
-    CSG scenes fall back to the generic path (the filter needs dense
-    candidate columns).
+    CSG scenes keep the factored layout too: the quadric columns (which
+    include every CSG member) plus dense CSG-triangle columns run through
+    ``apply_csg`` on the flattened [R*S, C] table — the filter only needs
+    the t columns, never the gid/u/v tables the generic nearest_hit
+    materializes, so a 10x10 area light over a CSG tree costs S shadow
+    column-tables, not S full candidate tables.
     """
     st = scene.static
     v = pos - over[:, None]                                 # [R,S,3]
@@ -754,22 +758,39 @@ def shadow_blocked(scene: T.Scene, over, pos, live=None):
             jnp.asarray([0.0, 0.0, 1.0], direction.dtype),
         )
 
-    if st.csg_nodes:
-        flat_o = jnp.broadcast_to(over[:, None], (r, s, 3)).reshape(-1, 3)
-        has, t, g, _, _ = nearest_hit(scene, flat_o, direction.reshape(-1, 3))
-        blocked = has & (t < dist.reshape(-1)) & table_gather(
-            scene.shadow, transform_row(scene, g))
-        return blocked.reshape(r, s)
-
     ts, col_gid = _shadow_static_ts(scene, over, direction)
+    if st.csg_nodes:
+        ntc = st.n_csg_tris
+        if ntc:
+            # CSG triangles need dense columns (the parity filter must
+            # see every hit); world-space vertices, so no per-object
+            # transform to factor — flatten the sample axis just here.
+            flat_o = jnp.broadcast_to(over[:, None], (r, s, 3)).reshape(-1, 3)
+            tts, _, _ = _tri_moller_trumbore(
+                flat_o, direction.reshape(-1, 3),
+                scene.tri_p1[:ntc], scene.tri_e1[:ntc], scene.tri_e2[:ntc],
+            )
+            ts = jnp.concatenate([ts, tts.reshape(r, s, ntc)], -1)
+            tri_off = sum(st.counts[:5])
+            col_gid = np.concatenate([
+                col_gid, np.arange(tri_off, tri_off + ntc, dtype=np.int32)
+            ])
+        c = ts.shape[-1]
+        # the filter consumes RAW ts (negative hits toggle containment)
+        ts = apply_csg(scene, ts.reshape(r * s, c), col_gid, c).reshape(
+            r, s, c
+        )
+
     pos_ok = (ts > 0.0) & jnp.isfinite(ts)
     masked = jnp.where(pos_ok, ts, INF)
     slot = jnp.argmin(masked, -1)
     t_s = select_col(masked, slot)                          # [R,S]
-    flags = np.asarray(col_gid)
-    flag_s = select_col(
-        jnp.broadcast_to(scene.shadow[jnp.asarray(flags)], masked.shape), slot
+    # per-column shadow flags are static rows (triangle gids map through
+    # their source row) — one tiny [C] gather, broadcast over samples
+    flag_cols = table_gather(
+        scene.shadow, transform_row(scene, jnp.asarray(col_gid))
     )
+    flag_s = select_col(jnp.broadcast_to(flag_cols, masked.shape), slot)
 
     nt_free = st.counts[5] - st.n_csg_tris
     if nt_free > 0:

@@ -134,3 +134,63 @@ def test_csg_sphere_cube_render():
         sc, jnp.asarray([[0.0, 0.0, -5.0]]), jnp.asarray([[0.0, 0.0, 1.0]]),
         limit=0)[0])
     assert col[0] > 0.5 and col[1] < 0.3
+
+
+def test_csg_area_light_shadow_matches_bruteforce():
+    """shadow_blocked's factored CSG path (quadric columns + dense CSG
+    triangle columns + apply_csg on the flattened [R*S, C] table) must
+    match the brute-force per-sample oracle: generic nearest_hit per
+    flattened shadow ray, nearest positive hit's shadow flag deciding
+    (world.rs:101-111). Covers the CSG x area-light combination, incl.
+    a shadow:false CSG and a free mesh in the same scene."""
+    import math
+
+    sc = build_scene([
+        S.AreaLight(corner=(-1.0, 4.0, -1.0), uvec=(2.0, 0.0, 0.0), usteps=3,
+                    vvec=(0.0, 0.0, 2.0), vsteps=3),
+        S.Plane(material=S.Material(specular=0.0)),
+        S.Csg(op="difference",
+              left=S.Sphere(transform=tf.translation(0.0, 1.5, 0.0)),
+              right=S.Cube(transform=tf.Transform()
+                           .scaling(0.6, 0.6, 0.6)
+                           .translation(0.7, 1.9, -0.4).matrix)),
+        S.Csg(op="intersect",
+              left=S.Sphere(transform=tf.translation(-2.0, 1.2, 1.0),
+                            shadow=False),
+              right=S.Cube(transform=tf.Transform().scaling(0.8, 0.8, 0.8)
+                           .translation(-2.0, 1.2, 1.0).matrix,
+                           shadow=False)),
+    ], jitter=(0.5,))
+
+    # receiver points on the floor under/near the csg solids
+    xs = np.linspace(-3.0, 3.0, 9, dtype=np.float32)
+    zs = np.linspace(-2.0, 2.0, 5, dtype=np.float32)
+    pts = np.array([[x, 1e-3, z] for x in xs for z in zs], np.float32)
+    over = jnp.asarray(pts)
+    r = over.shape[0]
+
+    # the 3x3 jittered sample positions (cell centers with jitter 0.5)
+    corner = np.array([-1.0, 4.0, -1.0], np.float32)
+    uvec = np.array([2.0, 0.0, 0.0], np.float32) / 3
+    vvec = np.array([0.0, 0.0, 2.0], np.float32) / 3
+    samples = np.array([
+        corner + (u + 0.5) * uvec + (v + 0.5) * vvec
+        for u in range(3) for v in range(3)
+    ], np.float32)
+    pos = jnp.broadcast_to(jnp.asarray(samples)[None], (r, 9, 3))
+
+    got = np.asarray(I.shadow_blocked(sc, over, pos))
+
+    # brute force: one generic nearest_hit per flattened shadow ray
+    v = np.asarray(pos) - pts[:, None]
+    dist = np.linalg.norm(v, axis=-1)
+    dirs = v / dist[..., None]
+    flat_o = np.broadcast_to(pts[:, None], (r, 9, 3)).reshape(-1, 3)
+    has, t, g, _, _ = I.nearest_hit(
+        sc, jnp.asarray(flat_o), jnp.asarray(dirs.reshape(-1, 3)))
+    flag = I.table_gather(sc.shadow, I.transform_row(sc, g))
+    ref = (np.asarray(has) & (np.asarray(t) < dist.reshape(-1))
+           & np.asarray(flag)).reshape(r, 9)
+
+    np.testing.assert_array_equal(got, ref)
+    assert got.any() and not got.all()  # scene exercises both outcomes
