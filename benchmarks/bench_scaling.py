@@ -77,7 +77,7 @@ def timed(fn, iters=5):
 
 
 def main():
-    out_path = "SCALING_r02.json"
+    out_path = "SCALING_r04.json"
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
@@ -127,6 +127,33 @@ def main():
                                seconds=round(dt, 4),
                                rays_per_sec=round(n_rays / dt, 1)))
 
+    # Machinery overhead at n=1: the 1-device SHARDED program vs a plain
+    # jit of the same computation with no mesh/sharding constraints at
+    # all. This isolates what the sharding machinery itself costs
+    # (constraint ops, replicated-param layout) from the core-sharing
+    # caveat below — the overhead trend the retention number can't show.
+    o1 = jnp.asarray(o_full[:PER_DEVICE_RAYS])
+    d1 = jnp.asarray(d_full[:PER_DEVICE_RAYS])
+    limit = scene.static.recursion_limit
+    plain_fwd = jax.jit(lambda sc, o, d: color_at(sc, o, d, None, limit))
+    dt_plain_fwd = timed(lambda: np.asarray(plain_fwd(scene, o1, d1)))
+
+    from raytracer_tpu.parallel.train import train_step
+
+    t1 = jnp.zeros((PER_DEVICE_RAYS, 3))
+    plain_step = jax.jit(
+        lambda sc, o, d, t: train_step(sc, o, d, t, lr=1e-2)
+    )
+
+    def plain_train():
+        loss, _ = plain_step(scene, o1, d1, t1)
+        return float(loss)
+
+    dt_plain_train = timed(plain_train)
+
+    def overhead(rows, plain_dt):
+        return round(rows[0]["seconds"] / plain_dt - 1.0, 3)
+
     def efficiency(rows):
         if len(rows) < 2:
             return None
@@ -155,6 +182,10 @@ def main():
         efficiency_train=efficiency(rows_train),
         total_throughput_retention_forward=retention(rows_fwd),
         total_throughput_retention_train=retention(rows_train),
+        plain_single_device_forward_s=round(dt_plain_fwd, 4),
+        plain_single_device_train_s=round(dt_plain_train, 4),
+        sharding_overhead_forward=overhead(rows_fwd, dt_plain_fwd),
+        sharding_overhead_train=overhead(rows_train, dt_plain_train),
         note=(
             "cpu_virtual_smoke: the 8 virtual devices SHARE the host's "
             "physical cores, so per-device weak-scaling efficiency is "

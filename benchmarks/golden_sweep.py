@@ -14,10 +14,18 @@ Excluded:
     mean |diff| instead of exact pixels (tests/test_golden.py asserts
     the envelope in CI).
 
+Scenes with no committed reference render (teapot, teapot_low,
+astronaut — samples/rendered/ lacks them) get a CPU-vs-TPU DIFFERENTIAL
+row instead at full scene fidelity: the CPU lowering is the
+reference-validated path (the whole unit suite runs there), so u8
+agreement between the two lowerings is the available full-frame oracle.
+
 Usage: python benchmarks/golden_sweep.py   (any backend; TPU recommended)
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -30,6 +38,11 @@ sys.path.insert(0, str(REPO))
 from PIL import Image  # noqa: E402
 
 import jax  # noqa: E402
+
+if os.environ.get("RAYTRACER_SWEEP_OUT"):
+    # the CPU worker: the axon sitecustomize force-resets jax_platforms
+    # at interpreter start, so the env var alone is not enough
+    jax.config.update("jax_platforms", "cpu")
 
 from raytracer_tpu.scene.yaml_scene import parse_scene  # noqa: E402
 from raytracer_tpu.core.render import render  # noqa: E402
@@ -49,19 +62,68 @@ EXACT_SCENES = [
     "space_teapot",
 ]
 
+# no committed golden render -> CPU-vs-TPU differential at full fidelity
+DIFFERENTIAL_SCENES = ["teapot", "teapot_low", "astronaut"]
+
+
+def render_scene_u8(name):
+    cam, scene = parse_scene(
+        (REF / "scenes" / f"{name}.yaml").read_text(), obj_files=OBJS
+    )
+    t0 = time.perf_counter()
+    img = render(scene, cam, quantize=True)
+    return img, time.perf_counter() - t0, cam
+
+
+def differential_rows():
+    """Render DIFFERENTIAL_SCENES on this (TPU) backend and in a CPU
+    subprocess, and report u8 agreement between the two lowerings."""
+    out_dir = Path("/tmp/sweep_diff_cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               RAYTRACER_SWEEP_OUT=str(out_dir))
+    sub = subprocess.run(
+        [sys.executable, __file__], env=env, capture_output=True,
+        text=True, timeout=7200,
+    )
+    assert sub.returncode == 0, sub.stdout[-2000:] + sub.stderr[-2000:]
+
+    rows = {}
+    for name in DIFFERENTIAL_SCENES:
+        img, dt, cam = render_scene_u8(name)
+        ref = np.load(out_dir / f"{name}.npy")
+        diff = np.abs(img.astype(int) - ref.astype(int)).max(-1)
+        rows[name] = dict(
+            differential="cpu_vs_tpu (no committed reference render)",
+            exact_pct=round(float((diff == 0).mean()) * 100.0, 3),
+            within1_pct=round(float((diff <= 1).mean()) * 100.0, 3),
+            maxdiff=int(diff.max()),
+            seconds=round(dt, 3),
+            resolution=f"{cam.hsize}x{cam.vsize}",
+        )
+        print(name, rows[name])
+    return rows
+
+
+def cpu_worker():
+    out_dir = Path(os.environ["RAYTRACER_SWEEP_OUT"])
+    out_dir.mkdir(exist_ok=True)
+    for name in DIFFERENTIAL_SCENES:
+        img, dt, _ = render_scene_u8(name)
+        np.save(out_dir / f"{name}.npy", img)
+        print(f"cpu worker: {name} in {dt:.1f}s")
+
 
 def main():
+    if os.environ.get("RAYTRACER_SWEEP_OUT"):
+        cpu_worker()
+        return
+
     results = {}
     for name in EXACT_SCENES:
         ref = np.asarray(
             Image.open(REF / "rendered" / f"{name}.png").convert("RGB")
         )
-        cam, scene = parse_scene(
-            (REF / "scenes" / f"{name}.yaml").read_text(), obj_files=OBJS
-        )
-        t0 = time.perf_counter()
-        img = render(scene, cam, quantize=True)
-        dt = time.perf_counter() - t0
+        img, dt, cam = render_scene_u8(name)
         diff = np.abs(img.astype(int) - ref.astype(int)).max(-1)
         results[name] = dict(
             exact_pct=round(float((diff == 0).mean()) * 100.0, 3),
@@ -86,6 +148,8 @@ def main():
         note="statistical envelope (reference jitter is unseeded RNG)",
     )
     print("soft_shadows", results["soft_shadows"])
+
+    results.update(differential_rows())
 
     out = dict(
         backend=jax.default_backend(),

@@ -25,8 +25,30 @@ import jax as _jax
 # can take many minutes to XLA-compile; persist compiled executables so
 # every process after the first starts warm. Opt out by setting
 # JAX_COMPILATION_CACHE_DIR to an empty string.
+#
+# The cache dir is keyed by the HOST's CPU feature set: XLA:CPU AOT
+# executables embed target machine features, and loading an entry
+# compiled on a host with different features segfaults the process
+# (observed: a cache written on an avx512 `prefer-no-gather` machine
+# SIGSEGV'd a later VM in backend_compile_and_load). A feature-keyed
+# directory makes a migrated VM start cold instead of crashing.
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
-    _cache = _os.path.expanduser("~/.cache/raytracer_tpu_xla")
+    def _host_key():
+        try:
+            import hashlib, platform, re
+            info = ""
+            try:
+                with open("/proc/cpuinfo") as f:
+                    m = re.search(r"^flags\s*:\s*(.*)$", f.read(), re.M)
+                info = m.group(1) if m else ""
+            except OSError:
+                pass
+            raw = platform.machine() + " " + " ".join(sorted(info.split()))
+            return hashlib.md5(raw.encode()).hexdigest()[:10]
+        except Exception:  # pragma: no cover
+            return "default"
+
+    _cache = _os.path.expanduser(f"~/.cache/raytracer_tpu_xla-{_host_key()}")
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

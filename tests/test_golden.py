@@ -66,6 +66,33 @@ def test_band_parity(name, bands):
         assert exact >= 0.995, (name, exact, diff.max())
 
 
+@pytest.mark.parametrize("name", [
+    "basic_scene", "csg", "checkered_plane", "checkered_cube",
+    "checkered_cylinder", "checkered_sphere", "cover", "space_ship",
+    "space_teapot",
+])
+def test_scattered_row_parity(name):
+    """Eight single rows spread evenly over the FULL frame height (plus a
+    golden-ratio column phase so successive rows don't align), rendered
+    as one batch: a regression confined to rows outside the three fixed
+    bands of test_band_parity (e.g. a tiling bug) cannot hide from this.
+    Costs the same as one extra 8-row band per scene."""
+    cam, scene = parse_scene(
+        (SCENES / f"{name}.yaml").read_text(), obj_files=OBJS
+    )
+    ref = np.asarray(Image.open(RENDERED / f"{name}.png").convert("RGB"))
+    origins, directions = ray_grid(cam)
+    h, w = cam.vsize, cam.hsize
+    rows = [(i * h) // 9 + (i * 37) % 7 for i in range(1, 9)]
+    idx = np.concatenate([np.arange(y * w, (y + 1) * w) for y in rows])
+    img = np.asarray(color_at(scene, origins[idx], directions[idx]))
+    ours = quantize_u8(img.reshape(len(rows), w, 3))
+    band = ref[np.asarray(rows)]
+    diff = np.abs(ours.astype(int) - band.astype(int)).max(-1)
+    exact = (diff == 0).mean()
+    assert exact >= 0.995, (name, exact, diff.max())
+
+
 def test_soft_shadows_statistical_envelope():
     """soft_shadows uses unseeded RNG jitter in the reference
     (lights.rs:114-120), so per-pixel equality is not defined; assert the
