@@ -511,17 +511,19 @@ def _tile_color_jit(scene, inv, consts, idx, key, limit, hsize):
 
 
 @functools.partial(jax.jit, static_argnames=("limit", "quantize", "hsize"))
-def _render_frame_jit(scene, inv, consts, idx_tiles, key, limit, quantize,
+def _render_frame_jit(scene, inv, consts, idx_tiles, keys, limit, quantize,
                       hsize):
-    """All tiles of a frame in ONE dispatch: lax.scan over the tile axis.
+    """A segment of the frame's tiles in ONE dispatch: lax.scan over the
+    tile axis.
 
-    Per-dispatch overhead is per ARGUMENT BUFFER on remote-TPU transports
-    (~0.7 ms x ~45 scene leaves ~= 32 ms measured), so dispatching tiles
-    one by one made a 71-tile dragons frame pay ~2.3 s of pure dispatch
-    overhead for ~0.4 s of compute. The scan keeps each tile's
-    chunk-culling lax.conds intact (scan bodies are traced once, executed
-    per-iteration — not vmapped), streams every tile on-device, and pays
-    the argument overhead once per frame.
+    Dispatching tiles one by one made a 71-tile dragons frame pay ~2.3 s
+    of pure per-dispatch overhead for ~0.4 s of compute on the remote-TPU
+    transport of the time; the scan keeps each tile's chunk-culling
+    lax.conds intact (scan bodies are traced once, executed per-iteration
+    — not vmapped) and streams every tile on-device. render() splits the
+    frame into a handful of equal segments (re-measured: per-dispatch
+    overhead is now ~0.1 ms even with ~40 scene-leaf arguments) so each
+    segment's device->host copy overlaps the next segment's compute.
 
     Primary rays are generated IN the scan body from the inverse camera
     matrix (camera.rs:45-64 math) and the pixel-id tiles: shipping
@@ -531,9 +533,10 @@ def _render_frame_jit(scene, inv, consts, idx_tiles, key, limit, quantize,
 
     inv: [4,4] inverse camera transform; consts: [3] =
     (half_width, half_height, pixel_size); idx_tiles: [n_tiles, tile]
-    i32 flat pixel ids (block-major order, padding repeats id 0).
+    i32 flat pixel ids (block-major order, padding repeats id 0);
+    keys: [n_tiles, keydim] per-tile PRNG keys (split on the host so
+    the segmentation cannot change the stream).
     """
-    keys = jax.random.split(key, idx_tiles.shape[0])
 
     def body(carry, xs):
         idx, k = xs
@@ -630,11 +633,27 @@ def render(scene: T.Scene, camera, *, key=None, tile_rays=None,
 
     order, idx_tiles = _order_tiles(camera.vsize, camera.hsize, tile)
     inv, consts = camera_consts(camera)
-    out = _render_frame_jit(
-        scene, inv, consts, idx_tiles, key,
-        scene.static.recursion_limit, quantize, camera.hsize,
-    )
-    img = np.asarray(out).reshape(-1, 3)[:n]
+    limit = scene.static.recursion_limit
+    n_tiles = idx_tiles.shape[0]
+    keys = jax.random.split(key, n_tiles)
+    # Segment the frame so each segment's device->host copy rides under
+    # the next segment's compute: the u8 frame crosses the remote-TPU
+    # tunnel at ~30 MB/s (~54 ms of a 399 ms dragons frame fully
+    # exposed with one dispatch; 6 segments + copy_to_host_async
+    # measured 349 ms). Equal segment sizes keep it to at most two
+    # compiled program shapes (body + remainder).
+    seg = -(-n_tiles // 6)
+    outs = []
+    for i0 in range(0, n_tiles, seg):
+        out = _render_frame_jit(
+            scene, inv, consts, idx_tiles[i0:i0 + seg], keys[i0:i0 + seg],
+            limit, quantize, camera.hsize,
+        )
+        out.copy_to_host_async()
+        outs.append(out)
+    img = np.concatenate(
+        [np.asarray(o).reshape(-1, 3) for o in outs]
+    )[:n]
     out = np.empty_like(img)
     out[order] = img
     return out.reshape(camera.vsize, camera.hsize, 3)

@@ -250,15 +250,21 @@ def test_train_grad_memory_envelope():
     d = jnp.ones((n, 3), jnp.float32)
     t = jnp.zeros((n, 3), jnp.float32)
     # Serializing this executable into the persistent compilation cache
-    # segfaults XLA:CPU (observed: SIGSEGV in put_executable_and_time on
-    # the ~GB-scale grad program) — compile it uncached.
-    jax.config.update("jax_enable_compilation_cache", False)
+    # segfaults XLA:CPU (observed: SIGSEGV in executable.serialize() via
+    # put_executable_and_time on the ~GB-scale grad program). The
+    # enable_compilation_cache flag does NOT gate _cache_write in jax
+    # 0.9.0 (reproduced: the segfault persisted with it False); the
+    # min-compile-time threshold is checked BEFORE serialize(), so an
+    # unreachable threshold is the reliable way to skip the write.
+    threshold = "jax_persistent_cache_min_compile_time_secs"
+    old = getattr(jax.config, threshold)
+    jax.config.update(threshold, 1e18)
     try:
         compiled = jax.jit(
             lambda s, o, d, t: train_step(s, o, d, t, lr=1e-3)
         ).lower(scene, o, d, t).compile()
     finally:
-        jax.config.update("jax_enable_compilation_cache", True)
+        jax.config.update(threshold, old)
     stats = compiled.memory_analysis()
     temp_gb = stats.temp_size_in_bytes / 1e9
     assert temp_gb < 12.0, f"grad temp memory regressed: {temp_gb:.2f} GB"
