@@ -514,13 +514,19 @@ def candidate_hits(scene: T.Scene, origins, directions):
 
 
 def _tri_free_nearest(scene: T.Scene, origins, directions, start, count,
-                      t_cap=None):
+                      t_cap=None, any_hit=False):
     """Nearest positive hit over the non-CSG triangle range.
 
     ``t_cap`` [R] (optional): per-ray search cap — hits at t >= cap
     report +inf. Callers pass the nearest positive static-primitive t,
     which is exact for every consumer (see candidate_hits) and lets the
     AABB gates reject statically-occluded geometry.
+
+    ``any_hit``: existence-only query (shadow rays where every mesh
+    source casts shadows): the Pallas kernel reports t=0 for any hit
+    below the cap and stops streaming once every ray found one. The
+    scan path ignores the flag (its exact t yields the same blocked
+    verdict — see shadow_blocked).
 
     On TPU with a mid-size mesh this dispatches to the Pallas kernel
     (ops/mesh_pallas.py) — per-subtile chunk culling in VMEM (2x over the
@@ -530,13 +536,14 @@ def _tri_free_nearest(scene: T.Scene, origins, directions, start, count,
     if (jax.default_backend() == "tpu"
             and count >= 4 * TRI_CHUNK):
         return _tri_free_nearest_pallas(
-            scene, origins, directions, start, count, t_cap=t_cap)
+            scene, origins, directions, start, count, t_cap=t_cap,
+            any_hit=any_hit)
     return _tri_free_nearest_scan(
         scene, origins, directions, start, count, t_cap=t_cap)
 
 
 def _tri_free_nearest_pallas(scene, origins, directions, start, count,
-                             t_cap=None):
+                             t_cap=None, any_hit=False):
     from raytracer_tpu.ops import mesh_pallas as MP
 
     if scene.mesh_planes is not None and start == scene.static.n_csg_tris:
@@ -561,7 +568,8 @@ def _tri_free_nearest_pallas(scene, origins, directions, start, count,
         )
         if t_cap is not None:
             t_cap = jnp.concatenate([t_cap, jnp.full((pad,), INF)])
-    t, idx, u, v = MP.mesh_nearest(origins, directions, tri, bb, t_init=t_cap)
+    t, idx, u, v = MP.mesh_nearest(origins, directions, tri, bb,
+                                   t_init=t_cap, any_hit=any_hit)
     t, idx, u, v = t[:r], idx[:r], u[:r], v[:r]
     tri_off = sum(scene.static.counts[:5])
     gid = tri_off + start + jnp.minimum(idx, count - 1)
@@ -800,10 +808,22 @@ def shadow_blocked(scene: T.Scene, over, pos, live=None):
         # at or beyond the light sample distance decides "not blocked"
         # exactly as a miss does — so the segment [0, min(t_s, dist))
         # is the only region that matters, and the cap feeds the mesh
-        # kernel's AABB/DMA gates.
+        # kernel's AABB/DMA gates. Dead rows (parked receivers, whose
+        # result is discarded) get cap 0: no supergroup is ever live
+        # for them and they read as instantly "found" to the any-hit
+        # early exit.
+        t_cap = jnp.minimum(t_s, dist)
+        if live is not None:
+            t_cap = jnp.where(live[:, None], t_cap, 0.0)
+        # When every triangle source casts shadows, only EXISTENCE of a
+        # hit below the cap matters (any such hit flips the verdict to
+        # blocked: it is nearer than the static decider and its flag is
+        # True; t's exact value is never read past the comparisons
+        # below, which 0 satisfies identically). The kernel then stops
+        # streaming the moment every ray found any occluder.
         t_m, g_m, _, _ = _tri_free_nearest(
             scene, flat_o, direction.reshape(-1, 3), st.n_csg_tris, nt_free,
-            t_cap=jnp.minimum(t_s, dist).reshape(-1),
+            t_cap=t_cap.reshape(-1), any_hit=bool(st.mesh_all_shadow),
         )
         t_m = t_m.reshape(r, s)
         better = t_m < t_s

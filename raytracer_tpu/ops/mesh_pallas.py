@@ -28,6 +28,8 @@ Returns per-ray (t, tri_index, u, v); misses have t=+inf.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -59,11 +61,14 @@ N_PLANES = 9       # p1.xyz, e1.xyz, e2.xyz
 SG = 8             # chunks per supergroup (one DMA: N_PLANES*SG*CHUNK*4 B)
 
 
-def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
+def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref,
+              skip_uv=False):
     """Moller-Trumbore of the subtile against one chunk + running-min.
 
     ``tri``: the chunk's [N_PLANES*CHUNK] lane row (plane k of triangle
-    j at lane k*CHUNK + j)."""
+    j at lane k*CHUNK + j). ``skip_uv`` drops the hit-attribute
+    (argmin + barycentric select) work for callers that never read u/v
+    (any-hit shadow queries)."""
     def plane(k):
         return tri[k * CHUNK : (k + 1) * CHUNK][None, :]
 
@@ -103,6 +108,9 @@ def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
     t = jnp.where(ok & (t > 0.0), t, jnp.inf)
 
     tbest = jnp.min(t, axis=1)
+    if skip_uv:
+        t_ref[:, 0] = jnp.minimum(tbest, t_ref[:, 0])
+        return
     col = jnp.argmin(t, axis=1).astype(jnp.int32)
     better = tbest < t_ref[:, 0]
 
@@ -119,7 +127,8 @@ def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref):
 
 
 def _kernel(ids_ref, cnt_ref, ent_ref, o_ref, id_ref, d_ref, t0_ref,
-            bbv_ref, tri_hbm, t_ref, g_ref, u_ref, v_ref):
+            bbv_ref, tri_hbm, t_ref, g_ref, u_ref, v_ref, *,
+            any_hit=False):
     i_sub = pl.program_id(0)
 
     # Seed the running best-t with the caller's per-ray cap (the nearest
@@ -208,7 +217,22 @@ def _kernel(ids_ref, cnt_ref, ent_ref, o_ref, id_ref, d_ref, t0_ref,
                     _mt_merge(
                         o_ref, d_ref, scratch[slot, c, :],
                         (s * SG + c) * CHUNK, t_ref, g_ref, u_ref, v_ref,
+                        skip_uv=any_hit,
                     )
+
+            if any_hit:
+                # Any-hit semantics: the caller only asks WHETHER a hit
+                # exists below the per-ray cap, never where. Collapse
+                # found rays' running t to 0 — their chunk gates
+                # (tmin < t) go dead immediately, and once every ray is
+                # found maxt hits 0, so the ent < maxt early exit fires
+                # on the next supergroup regardless of its entry
+                # distance. Exact for the shadow decision: any t in
+                # [0, cap) and the value 0 produce the same blocked
+                # verdict (see intersect.shadow_blocked).
+                t_ref[:, 0] = jnp.where(
+                    t_ref[:, 0] < t0_ref[:, 0], 0.0, t_ref[:, 0]
+                )
 
             # Early exit (front-to-back occlusion): supergroup j+1 — and
             # by the entry-distance sort everything after it — can only
@@ -305,7 +329,7 @@ def _live_supergroups(origins, inv_d, bb_super, t_cap=None):
 
 
 def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
-                 interpret=False):
+                 any_hit=False, interpret=False):
     """Nearest triangle hit per ray.
 
     origins/directions: [R, 3] (R a multiple of RT)
@@ -316,6 +340,11 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
         static-primitive hit). Hits at t >= t_init report +inf; the cap
         seeds the kernel's running best-t and culls occluded
         supergroups from the DMA stream entirely.
+    any_hit: existence query — any hit strictly below the cap reports
+        t=0 (tri_idx/u/v meaningless) and the stream terminates as soon
+        as every ray found one. For shadow queries where every mesh
+        source casts shadows, t=0 and the true nearest t yield the same
+        blocked verdict, so this is exact (shadow_blocked's proof).
     Returns (t [R], tri_idx [R], u [R], v [R]).
     """
     bb_chunk, bb_super = bb
@@ -345,7 +374,7 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
     out_spec = pl.BlockSpec((RT, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     t, g, u, v = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, any_hit=any_hit),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),           # live ids

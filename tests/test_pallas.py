@@ -84,6 +84,22 @@ def test_multi_supergroup_stream_matches_oracle():
     np.testing.assert_allclose(np.asarray(t_c)[kept], t_ref[kept], rtol=1e-5)
     assert not np.isfinite(np.asarray(t_c)[~kept]).any()
 
+    # any-hit mode: same existence verdict (t=0 where a hit beats the
+    # cap, +inf where none does), across the multi-supergroup stream
+    # and its found-ray early exit
+    t_a, _, _, _ = mesh_nearest(
+        o, d, tri, bb, t_init=jnp.asarray(cap), any_hit=True,
+        interpret=True)
+    t_a = np.asarray(t_a)
+    assert (t_a[kept] == 0.0).all()
+    assert not np.isfinite(t_a[~kept]).any()
+    # uncapped any-hit agrees with the uncapped nearest's existence
+    t_a2, _, _, _ = mesh_nearest(o, d, tri, bb, any_hit=True,
+                                 interpret=True)
+    t_a2 = np.asarray(t_a2)
+    assert (t_a2[hit] == 0.0).all()
+    assert not np.isfinite(t_a2[~hit]).any()
+
 
 def test_t_init_cap_erases_capped_hits():
     """mesh_nearest with a per-ray t_init cap must return exactly the
