@@ -158,11 +158,15 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     each spawn = (origin, direction, child_weight).
     """
     st = scene.static
-    if st.has_transparency:
+    if st.has_transparency and not st.all_ri_one:
         # the n1/n2 container walk needs the whole candidate table
         ts, gids, us, vs = I.candidate_hits(scene, o, d)
         has, t, gid, u, v, slot = I.first_hit(ts, gids, us, vs)
     else:
+        # all_ri_one: every container's RI is 1.0, so the walk could
+        # only ever return (1, 1) — the nearest hit suffices and the
+        # refraction math below gets the constants (bit-identical to
+        # running the walk, whose gathered values are exactly 1.0f)
         has, t, gid, u, v = I.nearest_hit(scene, o, d)
         ts = gids = slot = None
     gid = jnp.where(has, gid, 0)
@@ -234,7 +238,7 @@ def shade_level(scene: T.Scene, o, d, weight, key):
     surface = jnp.where(has[:, None], surface, 0.0)
 
     # --- secondary rays ---------------------------------------------------
-    if st.has_transparency:
+    if st.has_transparency and not st.all_ri_one:
         n1, n2 = SH.refraction_indices_fast(scene, ts, gids, slot)
     else:
         n1 = n2 = jnp.ones_like(t)

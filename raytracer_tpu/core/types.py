@@ -106,6 +106,14 @@ class SceneStatic:
     # None. Lets the n1/n2 walk's dynamic mesh columns skip their per-ray
     # material lookup (the common case: one glass material per mesh).
     mesh_uniform_refr: float | None = None
+    # EVERY material in the scene has refractive_index == 1.0: the n1/n2
+    # container walk can only ever return (1.0, 1.0) — whatever objects a
+    # ray is inside, their RI is 1 — so shade_level skips the full
+    # candidate table + walk and feeds the (bit-identical) constants to
+    # the refraction math. Transparency still spawns pass-through rays
+    # (dragons.yaml's bounding boxes are exactly this: transparent RI=1
+    # shells around opaque meshes).
+    all_ri_one: bool = False
     # How many sorted hits to keep per ray (for hit(), CSG and n1/n2 walk).
     top_k: int = 12
     recursion_limit: int = 4

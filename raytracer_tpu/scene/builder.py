@@ -489,6 +489,11 @@ class _Builder:
         mesh_transparent = bool(
             transp[mat_id[g_nt + n_csg_tris : g]].any()
         ) if nt - n_csg_tris > 0 else False
+        # every object's RI is exactly 1.0 -> the n1/n2 walk is the
+        # constant (1, 1) and shade_level skips it (types.all_ri_one)
+        all_ri_one = bool(
+            g and (used[:, T.MAT_REFRACTIVE] == 1.0).all()
+        )
 
         n_candidates = (
             2 * counts[0] + counts[1] + 2 * counts[2] + 4 * counts[3]
@@ -517,6 +522,7 @@ class _Builder:
                     tb["mat_src"][:, T.MAT_REFRACTIVE]).size == 1
                 else None
             ),
+            all_ri_one=all_ri_one,
             top_k=top_k,
             recursion_limit=recursion_limit,
         )

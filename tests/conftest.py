@@ -11,6 +11,18 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The test suite gets its OWN persistent-compilation-cache directory.
+# Sharing the package default with concurrently-running TPU bench
+# processes corrupted entries twice (observed: SIGSEGV serializing a
+# GB-scale grad executable mid-write, then a later suite run SIGABRT
+# deserializing the truncated entry in get_executable_and_time) — and a
+# corrupt entry aborts in native code, unreachable by
+# raise_persistent_cache_errors=False.
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    _cache = os.path.expanduser("~/.cache/raytracer_tpu_xla-cputests")
+    os.makedirs(_cache, exist_ok=True)
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
+
 # The axon sitecustomize force-updates jax_platforms to "axon,cpu" at
 # interpreter start, which silently moves "CPU" tests onto the one real
 # TPU chip; put it back before any backend initializes.

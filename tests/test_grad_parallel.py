@@ -233,43 +233,6 @@ def test_microbatch_matches_full_batch():
                                    err_msg=k)
 
 
-def test_train_grad_memory_envelope():
-    """Compile (AOT, no execution) the full bench train step — flagship
-    blend scene, 131,072 rays, depth 4 — and assert the compiled temp
-    memory stays far under a TPU chip's HBM. Round 3 shipped a 23.4 GB
-    grad program that OOM'd the 15.75 GB chip; per-level remat holds the
-    CPU-backend number at ~4.6 GB, so 12 GB catches any regression of
-    that class while tolerating backend layout differences."""
-    import sys
-    sys.path.insert(0, "/root/repo")
-    from __graft_entry__ import _flagship_scene
-
-    scene = _flagship_scene()
-    n = 131072
-    o = jnp.zeros((n, 3), jnp.float32)
-    d = jnp.ones((n, 3), jnp.float32)
-    t = jnp.zeros((n, 3), jnp.float32)
-    # Serializing this executable into the persistent compilation cache
-    # segfaults XLA:CPU (observed: SIGSEGV in executable.serialize() via
-    # put_executable_and_time on the ~GB-scale grad program). The
-    # enable_compilation_cache flag does NOT gate _cache_write in jax
-    # 0.9.0 (reproduced: the segfault persisted with it False); the
-    # min-compile-time threshold is checked BEFORE serialize(), so an
-    # unreachable threshold is the reliable way to skip the write.
-    threshold = "jax_persistent_cache_min_compile_time_secs"
-    old = getattr(jax.config, threshold)
-    jax.config.update(threshold, 1e18)
-    try:
-        compiled = jax.jit(
-            lambda s, o, d, t: train_step(s, o, d, t, lr=1e-3)
-        ).lower(scene, o, d, t).compile()
-    finally:
-        jax.config.update(threshold, old)
-    stats = compiled.memory_analysis()
-    temp_gb = stats.temp_size_in_bytes / 1e9
-    assert temp_gb < 12.0, f"grad temp memory regressed: {temp_gb:.2f} GB"
-
-
 def test_host_mesh_and_multihost_render_path():
     """make_host_mesh shapes (processes, chips); the multihost render path
     (per-host shard materialization + process allgather) must match the
@@ -290,13 +253,33 @@ def test_host_mesh_and_multihost_render_path():
 
 
 def test_dryrun_multichip_entrypoint():
+    import os
+    import subprocess
     import sys
+
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
-    g.dryrun_multichip(min(8, len(jax.devices())))
+    # The 8-device dryrun compile runs in a FRESH process: late in a
+    # long suite run the same compile SIGABRTs/SIGSEGVs inside XLA:CPU's
+    # backend_compile_and_load (reproduced 3x at test ~56 of the suite;
+    # the identical compile succeeds in a clean process every time).
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=env.get("XLA_FLAGS", ""),
+        PYTHONPATH="/root/repo",
+    )
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "from __graft_entry__ import dryrun_multichip;"
+         "dryrun_multichip(8)"],
+        capture_output=True, timeout=900, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
 
 
 def test_pose_gradient_consistency():
@@ -348,3 +331,56 @@ def test_pose_gradient_consistency():
     g_nt = sum(scene.static.counts[:5])
     with pytest.raises(ValueError):
         with_prim_transform(scene, g_nt, jnp.eye(4))
+
+
+# Keep this LAST in the file: XLA:CPU segfaults intermittently when the
+# next large compile (e.g. the 8-device dryrun program) follows this
+# GB-scale grad compile in the same process (reproduced twice in full
+# suite runs; both compile fine in isolation or in the other order).
+def test_train_grad_memory_envelope():
+    """Compile (AOT, no execution) the full bench train step — flagship
+    blend scene, 131,072 rays, depth 4 — and assert the compiled temp
+    memory stays far under a TPU chip's HBM. Round 3 shipped a 23.4 GB
+    grad program that OOM'd the 15.75 GB chip; per-level remat holds the
+    CPU-backend number at ~4.6 GB, so 12 GB catches any regression of
+    that class while tolerating backend layout differences."""
+    import os
+    import subprocess
+    import sys
+
+    # Runs in a FRESH process (like the dryrun compile above): this
+    # GB-scale compile both segfaulted while serializing into the
+    # persistent cache (so the child disables the write via an
+    # unreachable min-compile-time — the enable_compilation_cache flag
+    # does NOT gate _cache_write in jax 0.9.0) and destabilized LATER
+    # large compiles in the same process.
+    child = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e18)
+import jax.numpy as jnp
+from __graft_entry__ import _flagship_scene
+from raytracer_tpu.parallel.train import train_step
+
+scene = _flagship_scene()
+n = 131072
+o = jnp.zeros((n, 3), jnp.float32)
+d = jnp.ones((n, 3), jnp.float32)
+t = jnp.zeros((n, 3), jnp.float32)
+compiled = jax.jit(
+    lambda s, o, d, t: train_step(s, o, d, t, lr=1e-3)
+).lower(scene, o, d, t).compile()
+print("TEMP_BYTES", compiled.memory_analysis().temp_size_in_bytes)
+"""
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True, timeout=900, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    temp = int(r.stdout.split(b"TEMP_BYTES")[1].split()[0])
+    temp_gb = temp / 1e9
+    assert temp_gb < 12.0, f"grad temp memory regressed: {temp_gb:.2f} GB"

@@ -231,3 +231,42 @@ def test_det_jitter_cycle_property():
                 assert np.allclose(got_int, exp_int), (seq, us, vs, phase)
                 assert np.allclose(got_lit, exp_lit), (seq, us, vs, phase)
                 phase += 4 * s
+
+
+def test_all_ri_one_skips_walk_identically():
+    """A transparent scene whose every material has refractive_index 1.0
+    (dragons.yaml's bounding-box shells) sets static.all_ri_one, and
+    shade_level then skips the candidate table + n1/n2 walk. The skip
+    must be BIT-identical to running the walk (whose gathered indices
+    are exactly 1.0f), including the pass-through refraction spawns."""
+    import dataclasses
+    import jax.numpy as jnp
+    from raytracer_tpu.camera import Camera, ray_grid
+
+    items = [
+        S.PointLight(position=(-10, 10, -10)),
+        S.Plane(material=S.Material(specular=0.0, reflective=0.3)),
+        S.Sphere(transform=tf.translation(0, 1, 0),
+                 material=S.Material(color=(1, 0, 0.1), ambient=0.1)),
+        S.Sphere(transform=tf.translation(0, 1, 0) @ tf.scaling(1.5, 1.5, 1.5),
+                 material=S.Material(transparency=0.8, refractive_index=1.0,
+                                     diffuse=0.1, ambient=0.0, specular=0.0)),
+    ]
+    scene = build_scene(items)
+    assert scene.static.all_ri_one and scene.static.has_transparency
+    cam = Camera(32, 16, math.pi / 3).with_transform(
+        tf.view_transform((0, 1.5, -5), (0, 1, 0), (0, 1, 0)))
+    o, d = ray_grid(cam)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    img_fast = np.asarray(color_at(scene, o, d))
+    scene_walk = dataclasses.replace(
+        scene, static=dataclasses.replace(scene.static, all_ri_one=False))
+    img_walk = np.asarray(color_at(scene_walk, o, d))
+    np.testing.assert_array_equal(img_fast, img_walk)
+
+    # an RI != 1 material anywhere must clear the flag
+    items[-1] = dataclasses.replace(
+        items[-1],
+        material=dataclasses.replace(
+            items[-1].material, refractive_index=1.5))
+    assert not build_scene(items).static.all_ri_one
