@@ -613,8 +613,32 @@ def pick_tile_rays(static: T.SceneStatic) -> int:
     math materializes [R, S~100, 3] sample intermediates."""
     n_free_tris = static.counts[5] - static.n_csg_tris
     if static.area_steps:
-        return 1 << 17 if n_free_tris <= 20000 else 1 << 14
-    return 1 << 15 if n_free_tris > 20000 else 1 << 17
+        tile = 1 << 17 if n_free_tris <= 20000 else 1 << 14
+    else:
+        tile = 1 << 15 if n_free_tris > 20000 else 1 << 17
+    return min(tile, _max_mesh_tile(n_free_tris))
+
+
+def _max_mesh_tile(n_free_tris: int) -> int:
+    """Largest power-of-two tile whose Pallas prepass tables fit SMEM.
+
+    The kernel keeps ids [n_sub, n_super] s32 + ent [n_sub, n_super] f32
+    + cnt [n_sub] SMEM-resident, with the supergroup axis PADDED to a
+    multiple of 128 lanes (observed: n_super=130 windows allocate as
+    [n_sub, 256]). SMEM is 1 MB; a 131072-ray dragons tile (n_sub=512,
+    padded 256 lanes) exceeded it by 3.1 KB at compile time, and a
+    10M-triangle mesh (n_super=1221) would overflow at the default
+    32k tile. Budget 900 KB for the two tables and round the ray count
+    down to a power of two (the tile orders and the packed-level width
+    chain both want one)."""
+    from raytracer_tpu.ops.mesh_pallas import CHUNK, SG, RT
+
+    if n_free_tris < 4 * CHUNK:      # XLA scan path, no SMEM tables
+        return 1 << 30
+    n_super = -(-n_free_tris // (CHUNK * SG))
+    ns_pad = -(-n_super // 128) * 128
+    max_sub = max(1, (900 * 1024) // (8 * ns_pad + 4))
+    return max(RT, 1 << ((max_sub * RT).bit_length() - 1))
 
 
 def render(scene: T.Scene, camera, *, key=None, tile_rays=None,
@@ -629,6 +653,13 @@ def render(scene: T.Scene, camera, *, key=None, tile_rays=None,
         key = jax.random.PRNGKey(0)
     if tile_rays is None:
         tile_rays = pick_tile_rays(scene.static)
+    else:
+        # explicit overrides are clamped too: an over-budget tile is a
+        # guaranteed SMEM compile error, not a tuning choice
+        st = scene.static
+        tile_rays = min(
+            tile_rays, _max_mesh_tile(st.counts[5] - st.n_csg_tris)
+        )
     # Pin the scene tables on device once; otherwise every tile dispatch
     # re-transfers the whole SoA from host (catastrophic over remote TPU).
     scene = jax.device_put(scene)

@@ -34,6 +34,24 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """Release jit executables + their constant buffers after each test
+    module. A full suite run otherwise accumulates ~65k memory mappings
+    (each live XLA:CPU buffer is its own mmap; jit caches pin every
+    compiled function's constants) and crosses the kernel's default
+    vm.max_map_count = 65530 — at which point mmap fails and XLA
+    SIGSEGV/SIGABRTs inside the next large compile (reproduced: maps
+    grew 52k -> 65.3k over the suite and the run died at 65.3k).
+    Re-entry is cheap: executables reload from the persistent
+    compilation cache."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture
 def default_world():
     """The book's default world fixture (world.rs:20-41): one point light

@@ -263,3 +263,18 @@ def test_reversed_ray_is_behind_query():
     assert np.allclose(np.asarray(bt)[have], np.asarray(bt_ref)[have], rtol=1e-5)
     assert (np.asarray(g_rev)[have] == np.asarray(j)[have]).mean() > 0.999
     assert not np.isfinite(np.asarray(bt)[~have]).any()
+
+
+def test_max_mesh_tile_smem_budget():
+    """pick_tile_rays must clamp the dispatch tile so the kernel's
+    SMEM-resident prepass tables (ids+ent, supergroup axis padded to 128
+    lanes) fit the 1 MB SMEM: a 131072-ray dragons-scale tile exceeded
+    it by 3.1 KB at compile time, and a 10M-triangle mesh would
+    overflow at the old 32k default."""
+    from raytracer_tpu.core.render import _max_mesh_tile
+
+    assert _max_mesh_tile(1000) == 1 << 30          # scan path, no clamp
+    assert _max_mesh_tile(1_061_760) == 65536        # dragons: 130 supers
+    assert _max_mesh_tile(10_000_000) == 16384       # 1221 supers
+    # the clamp always leaves at least one RT subtile
+    assert _max_mesh_tile(10**9) >= RT
