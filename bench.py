@@ -308,7 +308,10 @@ def main():
         }))
         return
 
-    headline = _section(bench_dragons, 5)
+    # 9 samples for the headline: the remote-TPU transport adds 0-60 ms
+    # stalls to individual frames, and min-of-5 still carried ~15 ms of
+    # that weather on a ~0.34 s frame
+    headline = _section(bench_dragons, 9)
     if isinstance(headline, tuple):  # success: (dict, cam, scene, dt)
         dragons, cam, scene, dt = headline
         dragons.setdefault("ok", True)
