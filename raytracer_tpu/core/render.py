@@ -397,7 +397,12 @@ def color_at(scene: T.Scene, origins, directions, key=None, limit=None,
             # scenes (trace + gathers) and area-light scenes (the
             # [R, S] shadow/Phong sample math). Blend-y small scenes
             # keep their levels mostly live, so the sort would be pure
-            # overhead there.
+            # overhead there — confirmed at grown widths too: packing
+            # blend levels once width >= 4R made the flagship frame 5x
+            # SLOWER (1.69 s vs 0.32 s measured r4), because without
+            # thread_perm (unsound across concatenated widths) every
+            # packed level pays a multi-million-row argsort plus 7
+            # full-width un-permute gathers.
             pack = (
                 (st.counts[5] - st.n_csg_tris > 20000 or st.area_steps)
                 and o.shape[0] >= 4096

@@ -384,3 +384,4 @@ print("TEMP_BYTES", compiled.memory_analysis().temp_size_in_bytes)
     temp = int(r.stdout.split(b"TEMP_BYTES")[1].split()[0])
     temp_gb = temp / 1e9
     assert temp_gb < 12.0, f"grad temp memory regressed: {temp_gb:.2f} GB"
+
