@@ -175,7 +175,12 @@ def bench_train_step(iters):
     d = jnp.asarray(directions)
     target = jnp.zeros((o.shape[0], 3))
 
-    step = jax.jit(lambda s, o, d, t: train_step(s, o, d, t, lr=1e-3))
+    # Measured-best single-chip config (see render_loss_and_grad): 4
+    # gradient-accumulation microbatches, remat off — exact same
+    # gradients as the full-batch step (test_microbatch_matches_full_
+    # batch), 1.8x its throughput, residuals fit HBM at batch/4.
+    step = jax.jit(lambda s, o, d, t: train_step(
+        s, o, d, t, lr=1e-3, n_micro=4, remat=False))
     loss, _ = step(scene, o, d, target)         # compile
     assert np.isfinite(float(loss))
 
@@ -189,6 +194,7 @@ def bench_train_step(iters):
         rays_per_sec_fwd_bwd=round(n / dt, 1),
         seconds_per_step=round(dt, 4),
         batch_rays=int(n),
+        config="n_micro=4, remat=False",
     )
 
 

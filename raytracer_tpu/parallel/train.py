@@ -79,7 +79,7 @@ def render_loss(params, recombine, origins, directions, target, key=None,
 
 
 def _grad_microbatched(params, recombine, origins, directions, target, key,
-                       n_micro, micro_sharding=None):
+                       n_micro, micro_sharding=None, remat=True):
     """value_and_grad of :func:`render_loss`, accumulated over ``n_micro``
     sequential microbatches of the ray axis (a lax.scan), so grad memory
     is bounded by one microbatch regardless of total batch size. Exact:
@@ -113,7 +113,7 @@ def _grad_microbatched(params, recombine, origins, directions, target, key,
         o_, d_, t_, k_ = xs
         k_ = k_ if key is not None else None
         loss, grads = jax.value_and_grad(render_loss)(
-            params, recombine, o_, d_, t_, k_
+            params, recombine, o_, d_, t_, k_, remat=remat
         )
         grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
         return (loss_sum + loss, grad_sum), None
@@ -127,32 +127,45 @@ def _grad_microbatched(params, recombine, origins, directions, target, key,
 
 
 def render_loss_and_grad(params, recombine, origins, directions, target,
-                         key=None, *, n_micro=None):
+                         key=None, *, n_micro=None, remat=True):
     """(loss, grads) of :func:`render_loss` w.r.t. ``params`` — the public
     entry for custom optimization loops. ``n_micro`` accumulates gradients
     over that many sequential ray microbatches (exact; bounds memory by
-    one microbatch — how a 1280x720 frame's gradient fits on one chip)."""
+    one microbatch — how a 1280x720 frame's gradient fits on one chip).
+
+    ``remat``: per-bounce-level rematerialization (see render_loss).
+    Memory-vs-speed knob, measured on the 131k-ray flagship batch on one
+    v5e chip: remat full-batch 368k rays/s; remat + n_micro=2 600k;
+    remat OFF + n_micro=2 663k; remat OFF + n_micro=4 675k (the 16R-wide
+    deep levels at full batch thrash HBM, and once microbatching narrows
+    them, storing residuals beats recomputing the trace). Prefer
+    ``remat=False`` with enough microbatches to fit HBM; keep the default
+    for single-shot full-batch gradients."""
     if n_micro is not None and n_micro > 1:
         return _grad_microbatched(
-            params, recombine, origins, directions, target, key, n_micro
+            params, recombine, origins, directions, target, key, n_micro,
+            remat=remat,
         )
     return jax.value_and_grad(render_loss)(
-        params, recombine, origins, directions, target, key
+        params, recombine, origins, directions, target, key, remat=remat
     )
 
 
 def train_step(scene: T.Scene, origins, directions, target, *, lr=1e-2,
-               key=None, n_micro=None):
+               key=None, n_micro=None, remat=True):
     """One SGD step on all float scene parameters. Returns (loss, scene').
 
     ``n_micro``: split the ray batch into that many sequential microbatches
     with gradient accumulation (exact, bounds grad memory by one
     microbatch). None = single full-batch gradient (per-level remat still
     bounds it by the widest bounce level — see :func:`render_loss`).
+    ``remat``: see :func:`render_loss_and_grad` for the measured
+    speed/memory tradeoff.
     """
     params, recombine = partition_scene(scene)
     loss, grads = render_loss_and_grad(
-        params, recombine, origins, directions, target, key, n_micro=n_micro
+        params, recombine, origins, directions, target, key, n_micro=n_micro,
+        remat=remat,
     )
     new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
     return loss, recombine(new_params)

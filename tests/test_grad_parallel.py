@@ -232,6 +232,18 @@ def test_microbatch_matches_full_batch():
         np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-7,
                                    err_msg=k)
 
+    # remat=False microbatching (the bench's fastest measured config)
+    # must produce the same update too
+    loss_c, sc_c = jax.jit(
+        lambda s, o, d, t: train_step(
+            s, o, d, t, lr=1e-3, n_micro=4, remat=False)
+    )(scene, o, d, target)
+    np.testing.assert_allclose(float(loss_a), float(loss_c), rtol=1e-5)
+    got_c = _float_tables(sc_c)
+    for k in ref:
+        np.testing.assert_allclose(got_c[k], ref[k], rtol=1e-4, atol=1e-7,
+                                   err_msg=k)
+
 
 def test_host_mesh_and_multihost_render_path():
     """make_host_mesh shapes (processes, chips); the multihost render path
