@@ -210,7 +210,8 @@ def make_optax_step(optimizer, *, param_filter=None):
     return init_fn, step_fn
 
 
-def make_sharded_train_step(mesh: Mesh, *, lr=1e-2, n_micro=None):
+def make_sharded_train_step(mesh: Mesh, *, lr=1e-2, n_micro=None,
+                            remat=True):
     """A jitted train step with rays/targets sharded and params replicated.
 
     The returned fn has signature ``(scene, origins, directions, target,
@@ -222,6 +223,8 @@ def make_sharded_train_step(mesh: Mesh, *, lr=1e-2, n_micro=None):
     ``n_micro``: sequential gradient-accumulation microbatches per chip
     (the ray axis is split *after* sharding, so each chip scans its own
     shard); bounds per-chip grad memory like :func:`train_step`.
+    ``remat``: see :func:`render_loss_and_grad` — per-chip, remat=False
+    with enough microbatches to fit HBM is the measured-fastest point.
     """
     ray_sh = NamedSharding(mesh, P(mesh.axis_names))
     rep = NamedSharding(mesh, P())
@@ -239,11 +242,12 @@ def make_sharded_train_step(mesh: Mesh, *, lr=1e-2, n_micro=None):
             micro_sh = NamedSharding(mesh, P(None, mesh.axis_names))
             loss, grads = _grad_microbatched(
                 params, recombine, origins, directions, target, key, n_micro,
-                micro_sharding=micro_sh,
+                micro_sharding=micro_sh, remat=remat,
             )
         else:
             loss, grads = jax.value_and_grad(render_loss)(
-                params, recombine, origins, directions, target, key
+                params, recombine, origins, directions, target, key,
+                remat=remat,
             )
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return loss, recombine(new_params)

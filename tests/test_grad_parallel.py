@@ -186,6 +186,15 @@ def test_sharded_train_step_matches_single_device():
         np.testing.assert_allclose(got_mb[k], ref[k], rtol=1e-5, atol=1e-7,
                                    err_msg=k)
 
+    # remat off (the measured-fastest per-chip config): same update again
+    step_nr = make_sharded_train_step(mesh, lr=1e-2, n_micro=2, remat=False)
+    loss_nr, scene2_nr = step_nr(scene_r, so, sd, target, key)
+    np.testing.assert_allclose(float(loss_nr), float(loss_1dev), rtol=1e-5)
+    got_nr = _float_tables(scene2_nr)
+    for k in ref:
+        np.testing.assert_allclose(got_nr[k], ref[k], rtol=1e-5, atol=1e-7,
+                                   err_msg=k)
+
 
 def test_remat_grads_match_exact():
     """Per-level remat (render_loss remat=True, the default) changes only
