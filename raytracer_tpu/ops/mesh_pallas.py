@@ -42,6 +42,10 @@ from raytracer_tpu.constants import EPSILON
 #   128x64 1.01 s, 256x32 0.83 s, 512x16 0.71 s, 1024x8 0.65 s, 2048x4
 #   0.71 s. Wide chunks amortize per-iteration loop overhead; RT=256
 #   keeps frusta tight enough for the chunk gate.
+# Re-swept r4 under the v4 design (caps + any-hit shadows + compacted
+#   DMA stream), full-frame wall clock: 256/1024/8 0.354 s,
+#   512/1024/8 0.635 s, 256/2048/4 0.411 s, 256/1024/16 0.783 s —
+#   the current constants remain the optimum by a wide margin.
 #
 # Plane layout is [n_super, SG, N_PLANES*CHUNK]: sublane row = chunk
 # (SG = 8 exactly fills the f32 sublane tile), lanes = the chunk's 9
