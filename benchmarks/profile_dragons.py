@@ -1,5 +1,13 @@
 """Stage-level timing decomposition of the dragons-equivalent frame.
 
+CAUTION — over the remote-TPU transport these isolated single-tile
+dispatches are TRANSFER-DOMINATED (each stage ships its [R, C] outputs
+to the host through the tunnel at ~30 MB/s): r4 measured "static
+families 1266 ms" here vs 24 ms/frame in the scan harness. Use
+benchmarks/bench_frame_decomp.py (one lax.scan dispatch per stage over
+every tile, outputs reduced on device) for stage attribution; this
+script is only meaningful on a local backend.
+
 Times each wavefront stage of one 8192-ray tile in isolation (jitted,
 median of N) and scales by tiles/frame, so the frame budget is
 attributed to: primary mesh trace, static-family trace, behind scan,
