@@ -618,7 +618,12 @@ def pick_tile_rays(static: T.SceneStatic) -> int:
     math materializes [R, S~100, 3] sample intermediates."""
     n_free_tris = static.counts[5] - static.n_csg_tris
     if static.area_steps:
-        tile = 1 << 17 if n_free_tris <= 20000 else 1 << 14
+        # The [R, S~100] sample intermediates set the working set; the
+        # r4 TPU sweep found the old 1<<17 default badly oversized:
+        # soft_shadows 0.24 s at 1<<14 vs 0.34 s at 1<<17, and the
+        # CSG x area combination (S-wide tables through apply_csg's
+        # prefix sums) 9.1 s at 1<<12 vs 16.8 s at 1<<17.
+        tile = 1 << 12 if static.csg_nodes else 1 << 14
     else:
         tile = 1 << 15 if n_free_tris > 20000 else 1 << 17
     return min(tile, _max_mesh_tile(n_free_tris))
