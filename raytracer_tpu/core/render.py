@@ -624,6 +624,12 @@ def pick_tile_rays(static: T.SceneStatic) -> int:
         # CSG x area combination (S-wide tables through apply_csg's
         # prefix sums) 9.1 s at 1<<12 vs 16.8 s at 1<<17.
         tile = 1 << 12 if static.csg_nodes else 1 << 14
+    elif static.has_blend:
+        # blend spawn concatenation grows deep levels to 16R: the r4
+        # flagship sweep (1280x720 depth 4) found 1<<14 fastest
+        # (215 ms vs 280 ms at the old 1<<17) — small tiles keep the
+        # 16R working set near the HBM sweet spot
+        tile = 1 << 14
     else:
         tile = 1 << 15 if n_free_tris > 20000 else 1 << 17
     return min(tile, _max_mesh_tile(n_free_tris))
