@@ -631,7 +631,9 @@ def pick_tile_rays(static: T.SceneStatic) -> int:
         # 16R working set near the HBM sweet spot
         tile = 1 << 14
     else:
-        tile = 1 << 15 if n_free_tris > 20000 else 1 << 17
+        # mesh scenes: r4 sweep — glass_mesh 254 ms at 1<<14 vs 274 ms
+        # at the old 1<<15; dragons a wash (340 vs 344 ms)
+        tile = 1 << 14 if n_free_tris > 20000 else 1 << 17
     return min(tile, _max_mesh_tile(n_free_tris))
 
 
