@@ -57,11 +57,16 @@ def test_cli_default_tile_is_adaptive(tmp_path, monkeypatch):
     assert rc == 0
     assert seen["tile_rays"] is None  # adaptive path engaged
 
-    # and the adaptive choice picks small tiles for mesh-heavy scenes
+    # and the adaptive choice picks smaller tiles for mesh-heavy scenes
+    # (assert the contract — ordering + power-of-two — not the swept
+    # constants, which each round's TPU re-sweep may move)
     mesh_static = SceneStatic(counts=(0, 0, 0, 0, 0, 30000))
     small_static = SceneStatic(counts=(2, 1, 0, 0, 0, 0))
-    assert pick_tile_rays(mesh_static) == 1 << 15
-    assert pick_tile_rays(small_static) == 1 << 17
+    mesh_tile = pick_tile_rays(mesh_static)
+    small_tile = pick_tile_rays(small_static)
+    assert mesh_tile < small_tile
+    assert mesh_tile & (mesh_tile - 1) == 0
+    assert small_tile & (small_tile - 1) == 0
 
 
 def test_cli_dithering(tmp_path):
