@@ -194,3 +194,59 @@ def test_csg_area_light_shadow_matches_bruteforce():
 
     np.testing.assert_array_equal(got, ref)
     assert got.any() and not got.all()  # scene exercises both outcomes
+
+
+def test_csg_64_nodes_builds_and_renders():
+    """The membership masks are uint64 words: a 64-node tree (the cap;
+    csg.rs:26-49 is unbounded but no sample scene exceeds 5) must build
+    and filter correctly through the highest bit."""
+    # left-leaning chain of 64 unions over 65 disjoint unit spheres laid
+    # out along x: the union of disjoint solids keeps every surface.
+    tree = S.Sphere()
+    for i in range(64):
+        tree = S.Csg(op="union", left=tree,
+                     right=S.Sphere(transform=tf.translation(
+                         3.0 * (i + 1), 0.0, 0.0)))
+    sc = build_scene([S.PointLight(position=(0, 0, 0)), tree])
+    assert len(sc.static.csg_nodes) == 64
+    # bit 63 really is in use on the deepest leaves
+    assert max(u for _, u, _ in sc.static.csg_members) >> 63 == 1
+
+    # a ray down z through sphere k of the chain must still hit it
+    for k in (0, 1, 63, 64):
+        ts, _ = hits(sc, (3.0 * k, 0.0, -5.0), (0.0, 0.0, 1.0))
+        assert ts.size == 2 and np.allclose(ts, [4.0, 6.0], atol=1e-4), (k, ts)
+
+    # and 65 nodes still raises
+    import pytest
+    over = tree
+    for i in range(1):
+        over = S.Csg(op="union", left=over,
+                     right=S.Sphere(transform=tf.translation(-3.0, 0.0, 0.0)))
+    with pytest.raises(ValueError, match="64 CSG nodes"):
+        build_scene([S.PointLight(position=(0, 0, 0)), over])
+
+
+def test_pairwise_filter_matches_sorted_fallback():
+    """The sortless pairwise path (small trees) and the argsort+prefix
+    fallback (wide trees) are two implementations of the same filter —
+    they must agree column-for-column on random t-tables, including
+    duplicate t values (tie-break by column index = stable sort)."""
+    from raytracer_tpu.core.csg import _filter_pairwise, _filter_sorted
+
+    rng = np.random.default_rng(7)
+    # a nested tree: 3 nodes, 8 columns with interleaved memberships
+    nodes = [(T.CSG_UNION, 2, 0), (T.CSG_INTERSECT, 1, 0), (T.CSG_DIFFERENCE, 0, 0)]
+    under = np.array([0b111, 0b111, 0b101, 0b101, 0b011, 0b011, 0b001, 0b001],
+                     np.uint64)
+    left = np.array([0b110, 0b010, 0b100, 0b000, 0b011, 0b001, 0b001, 0b000],
+                    np.uint64)
+    for trial in range(5):
+        ts = rng.normal(size=(64, 8)).astype(np.float32)
+        # inject duplicates and infinities
+        ts[ts > 1.0] = np.inf
+        ts[:, 3] = ts[:, 1]  # exact duplicate column -> exercises tie-break
+        sub = jnp.asarray(ts)
+        got_p = np.asarray(_filter_pairwise(sub, nodes, under, left))
+        got_s = np.asarray(_filter_sorted(sub, nodes, under, left))
+        np.testing.assert_array_equal(got_p, got_s)
