@@ -889,15 +889,17 @@ def _num_csg_tris(scene: T.Scene) -> int:
     return scene.static.n_csg_tris
 
 
-def sorted_hits(scene: T.Scene, origins, directions):
-    """The reference's sorted Intersections list, truncated to top_k.
+def sorted_hits(scene: T.Scene, origins, directions, k: int = 12):
+    """The reference's sorted Intersections list, truncated to ``k``.
 
+    TEST ORACLE ONLY — the production path never sorts (see first_hit);
+    this mirrors intersections.rs:66-73 for the book-value tests.
     Returns (ts, gid, u, v) each [R, K], ascending by t, +inf padded.
     """
     ts, gid, u, v = candidate_hits(scene, origins, directions)
     # the behind column's "none" sentinel is -inf — treat as a miss here
     ts = jnp.where(jnp.isneginf(ts), INF, ts)
-    k = min(scene.static.top_k, ts.shape[-1])
+    k = min(k, ts.shape[-1])
     if ts.shape[-1] == k:
         order = jnp.argsort(ts, axis=-1)
         g = lambda x: jnp.take_along_axis(x, order, -1)

@@ -634,10 +634,16 @@ def pick_tile_rays(static: T.SceneStatic) -> int:
         # mesh scenes: r4 sweep — glass_mesh 254 ms at 1<<14 vs 274 ms
         # at the old 1<<15; dragons a wash (340 vs 344 ms)
         tile = 1 << 14 if n_free_tris > 20000 else 1 << 17
-    return min(tile, _max_mesh_tile(n_free_tris))
+    return min(tile, _max_mesh_tile(n_free_tris, _max_samples(static)))
 
 
-def _max_mesh_tile(n_free_tris: int) -> int:
+def _max_samples(static: T.SceneStatic) -> int:
+    """Widest single mesh-kernel dispatch per tile ray: area-light shadow
+    traces run at tile*S rays (S = usteps*vsteps of the widest light)."""
+    return max([us * vs for us, vs in static.area_steps], default=1)
+
+
+def _max_mesh_tile(n_free_tris: int, n_samples: int = 1) -> int:
     """Largest power-of-two tile whose Pallas prepass tables fit SMEM.
 
     The kernel keeps ids [n_sub, n_super] s32 + ent [n_sub, n_super] f32
@@ -648,7 +654,13 @@ def _max_mesh_tile(n_free_tris: int) -> int:
     10M-triangle mesh (n_super=1221) would overflow at the default
     32k tile. Budget 900 KB for the two tables and round the ray count
     down to a power of two (the tile orders and the packed-level width
-    chain both want one)."""
+    chain both want one).
+
+    ``n_samples`` sizes the WIDEST dispatch the tile triggers: area-light
+    shadow traces go through the same kernel at tile*S rays (n_sub =
+    tile*S/RT), so the budget divides by the sample count — a 10x10
+    light over a big mesh would otherwise compile ~6.6 MB of SMEM
+    tables at the 16k default tile."""
     from raytracer_tpu.ops.mesh_pallas import CHUNK, SG, RT
 
     if n_free_tris < 4 * CHUNK:      # XLA scan path, no SMEM tables
@@ -656,7 +668,8 @@ def _max_mesh_tile(n_free_tris: int) -> int:
     n_super = -(-n_free_tris // (CHUNK * SG))
     ns_pad = -(-n_super // 128) * 128
     max_sub = max(1, (900 * 1024) // (8 * ns_pad + 4))
-    return max(RT, 1 << ((max_sub * RT).bit_length() - 1))
+    budget = max(RT, (max_sub * RT) // n_samples)
+    return max(RT, 1 << (budget.bit_length() - 1))
 
 
 def render(scene: T.Scene, camera, *, key=None, tile_rays=None,

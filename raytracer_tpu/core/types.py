@@ -114,8 +114,6 @@ class SceneStatic:
     # (dragons.yaml's bounding boxes are exactly this: transparent RI=1
     # shells around opaque meshes).
     all_ri_one: bool = False
-    # How many sorted hits to keep per ray (for hit(), CSG and n1/n2 walk).
-    top_k: int = 12
     recursion_limit: int = 4
 
     @property

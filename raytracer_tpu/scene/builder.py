@@ -44,7 +44,6 @@ def build_scene(
     items: list,
     *,
     jitter: tuple | None = None,
-    top_k: int | None = None,
     recursion_limit: int = 4,
 ) -> T.Scene:
     """items: shapes / Groups / Csgs / PointLights / AreaLights."""
@@ -60,7 +59,7 @@ def build_scene(
             b.add_csg_root(item)
         else:
             b.add_shape(item, item.matrix, 0, 0)
-    return b.finish(jitter=jitter, top_k=top_k, recursion_limit=recursion_limit)
+    return b.finish(jitter=jitter, recursion_limit=recursion_limit)
 
 
 class _Builder:
@@ -95,8 +94,14 @@ class _Builder:
         # emit the node entry after recursing.
         bit = self._csg_bit
         self._csg_bit += 1
-        if self._csg_bit > 32:
-            raise ValueError("At most 32 CSG nodes per scene supported")
+        if self._csg_bit > 64:
+            # membership masks are uint64 words (csg.py); the reference's
+            # recursion is unbounded (csg.rs:26-49) but no sample scene
+            # exceeds 5 nodes — see ARCHITECTURE.md "CSG encoding"
+            raise ValueError(
+                "At most 64 CSG nodes per scene supported "
+                "(uint64 membership masks; see ARCHITECTURE.md)"
+            )
         my_root = bit if root_bit is None else root_bit
         op = {"union": T.CSG_UNION, "intersect": T.CSG_INTERSECT,
               "difference": T.CSG_DIFFERENCE}[node.op]
@@ -272,8 +277,8 @@ class _Builder:
                 mat_src=r["mat"],
                 pattern_id=np.array([r["pattern_id"]], np.int32),
                 shadow=np.array([r["shadow"]], bool),
-                csg_under=np.array([r["csg_under"]], np.int64),
-                csg_left=np.array([r["csg_left"]], np.int64),
+                csg_under=np.array([r["csg_under"]], np.uint64),
+                csg_left=np.array([r["csg_left"]], np.uint64),
                 tf_id=np.array([i], np.int32),
             ))
         n_rows = len(rows)
@@ -291,8 +296,8 @@ class _Builder:
                 mat_src=blk["mat"],
                 pattern_id=np.full(n, blk["pattern_id"], np.int32),
                 shadow=np.full(n, blk["shadow"], bool),
-                csg_under=np.zeros(n, np.int64),
-                csg_left=np.zeros(n, np.int64),
+                csg_under=np.zeros(n, np.uint64),
+                csg_left=np.zeros(n, np.uint64),
                 # all triangles of a mesh block share one transform row
                 tf_id=np.full(n, n_rows + bi, np.int32),
             ))
@@ -311,7 +316,7 @@ class _Builder:
             [bool(b["shadow"][0]) for b in batches], bool)
         return out
 
-    def finish(self, *, jitter, top_k, recursion_limit) -> T.Scene:
+    def finish(self, *, jitter, recursion_limit) -> T.Scene:
         tb = self._triangle_batches()
         nt = 0 if tb is None else tb["w"].shape[0]
         n_csg_tris = 0 if tb is None else int((tb["csg_under"] != 0).sum())
@@ -495,13 +500,6 @@ class _Builder:
             g and (used[:, T.MAT_REFRACTIVE] == 1.0).all()
         )
 
-        n_candidates = (
-            2 * counts[0] + counts[1] + 2 * counts[2] + 4 * counts[3]
-            + 4 * counts[4] + counts[5]
-        )
-        if top_k is None:
-            top_k = int(min(max(n_candidates, 1), 12))
-
         static = T.SceneStatic(
             counts=counts,
             area_steps=a_steps,
@@ -523,7 +521,6 @@ class _Builder:
                 else None
             ),
             all_ri_one=all_ri_one,
-            top_k=top_k,
             recursion_limit=recursion_limit,
         )
 

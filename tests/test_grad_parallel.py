@@ -2,10 +2,13 @@
 tests — capabilities beyond the reference (forward-only, single process)."""
 
 import math
+import pathlib
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+REPO_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
 
 from raytracer_tpu import transforms as tf
 from raytracer_tpu.camera import Camera, ray_grid
@@ -202,7 +205,7 @@ def test_remat_grads_match_exact():
     path bit-for-bit-ish on the blend flagship scene, whose level width
     growth (16R at depth 4) is what remat exists to bound."""
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO_ROOT)
     from __graft_entry__ import _flagship_scene, _camera
     from raytracer_tpu.camera import ray_grid as rg
 
@@ -278,7 +281,7 @@ def test_dryrun_multichip_entrypoint():
     import subprocess
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO_ROOT)
     import __graft_entry__ as g
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
@@ -291,14 +294,14 @@ def test_dryrun_multichip_entrypoint():
     env.update(
         JAX_PLATFORMS="cpu",
         XLA_FLAGS=env.get("XLA_FLAGS", ""),
-        PYTHONPATH="/root/repo",
+        PYTHONPATH=REPO_ROOT,
     )
     r = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms', 'cpu');"
          "from __graft_entry__ import dryrun_multichip;"
          "dryrun_multichip(8)"],
-        capture_output=True, timeout=900, env=env, cwd="/root/repo",
+        capture_output=True, timeout=900, env=env, cwd=REPO_ROOT,
     )
     assert r.returncode == 0, r.stderr[-2000:]
 
@@ -376,8 +379,6 @@ def test_train_grad_memory_envelope():
     # does NOT gate _cache_write in jax 0.9.0) and destabilized LATER
     # large compiles in the same process.
     child = r"""
-import sys
-sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e18)
@@ -396,10 +397,10 @@ compiled = jax.jit(
 print("TEMP_BYTES", compiled.memory_analysis().temp_size_in_bytes)
 """
     env = dict(os.environ)
-    env.update(JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH=REPO_ROOT)
     r = subprocess.run(
         [sys.executable, "-c", child],
-        capture_output=True, timeout=900, env=env, cwd="/root/repo",
+        capture_output=True, timeout=900, env=env, cwd=REPO_ROOT,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     temp = int(r.stdout.split(b"TEMP_BYTES")[1].split()[0])
