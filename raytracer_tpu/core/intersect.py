@@ -265,15 +265,23 @@ def _cone_ts(o, d, mn, mx, closed):
     return jnp.stack([body0, body1, capl, capu], -1)
 
 
-def _tri_moller_trumbore(o, d, p1, e1, e2):
+def _tri_moller_trumbore(o, d, p1, e1, e2, det_eps=None):
     """triangle.rs:93-115 (world space; t identical, see types.py).
 
     o,d [R,3]; p1,e1,e2 [Tc,3] -> (t, u, v) each [R,Tc]; misses = +inf t.
+
+    ``det_eps`` [Tc]: per-triangle det threshold (types.Scene
+    .tri_det_eps) — the reference's |det| < EPSILON runs in OBJECT space
+    and det scales by the instance transform's determinant under the
+    world-space pretransform, so scene triangles MUST pass their own
+    threshold (a fixed EPSILON erases scaled-down mesh instances).
+    None = plain EPSILON (unit-instance callers: tests, raw kernels).
     """
     d_b = d[:, None, :]
     dce2 = jnp.cross(d_b, e2[None])                 # [R,Tc,3]
     det = jnp.sum(e1[None] * dce2, -1)
-    ok = jnp.abs(det) >= EPSILON
+    thresh = EPSILON if det_eps is None else det_eps[None]
+    ok = jnp.abs(det) >= thresh
     f = 1.0 / jnp.where(ok, det, 1.0)
     p1o = o[:, None, :] - p1[None]
     u = f * jnp.sum(p1o * dce2, -1)
@@ -350,12 +358,15 @@ def _tri_behind_scan(scene: T.Scene, origins, directions, start, count):
     e2 = pad(scene.tri_e2).reshape(-1, TRI_CHUNK, 3)
     bb_min, bb_max = _free_chunk_bbs(scene, start, p1, e1, e2)
     n_chunks = p1.shape[0]
+    # padding threshold +inf: padding rows (det==0) must reject
+    deps = jnp.pad(scene.tri_det_eps[sl], (0, n_pad),
+                   constant_values=INF).reshape(-1, TRI_CHUNK)
 
     inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-12, 1e-12, directions)
     init = (jnp.full((r,), -INF), jnp.zeros((r,), jnp.int32))
 
     def body(carry, chunk):
-        cp1, ce1, ce2, cbase, cmin, cmax = chunk
+        cp1, ce1, ce2, cde, cbase, cmin, cmax = chunk
         t0 = (cmin[None] - origins) * inv_d
         t1 = (cmax[None] - origins) * inv_d
         tmin = jnp.max(jnp.minimum(t0, t1), -1)
@@ -366,7 +377,8 @@ def _tri_behind_scan(scene: T.Scene, origins, directions, start, count):
 
         def run(c):
             bt, bg = c
-            ts, _, _ = _tri_moller_trumbore(origins, directions, cp1, ce1, ce2)
+            ts, _, _ = _tri_moller_trumbore(
+                origins, directions, cp1, ce1, ce2, det_eps=cde)
             ts = jnp.where((ts <= 0.0) & jnp.isfinite(ts), ts, -INF)
             j = jnp.argmax(ts, -1)
             ct = select_col(ts, j)
@@ -376,7 +388,8 @@ def _tri_behind_scan(scene: T.Scene, origins, directions, start, count):
         return jax.lax.cond(jnp.any(hit_bb), run, lambda c: c, carry), None
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * TRI_CHUNK
-    (bt, bg), _ = jax.lax.scan(body, init, (p1, e1, e2, bases, bb_min, bb_max))
+    (bt, bg), _ = jax.lax.scan(
+        body, init, (p1, e1, e2, deps, bases, bb_min, bb_max))
     tri_off = sum(scene.static.counts[:5])
     gid = tri_off + start + jnp.minimum(bg, count - 1)
     return bt, gid
@@ -426,6 +439,7 @@ def _static_hits(scene: T.Scene, origins, directions):
         tts, tu, tv = _tri_moller_trumbore(
             origins, directions,
             scene.tri_p1[:nt_csg], scene.tri_e1[:nt_csg], scene.tri_e2[:nt_csg],
+            det_eps=scene.tri_det_eps[:nt_csg],
         )
         tri_off = sum(st.counts[:5])
         gids = np.arange(tri_off, tri_off + nt_csg, dtype=np.int32)
@@ -554,7 +568,8 @@ def _tri_free_nearest_pallas(scene, origins, directions, start, count,
     else:
         sl = slice(start, start + count)
         tri, bb = MP.pack_tri_planes(
-            scene.tri_p1[sl], scene.tri_e1[sl], scene.tri_e2[sl]
+            scene.tri_p1[sl], scene.tri_e1[sl], scene.tri_e2[sl],
+            scene.tri_det_eps[sl],
         )
     r = origins.shape[0]
     pad = -r % MP.RT
@@ -599,6 +614,9 @@ def _tri_free_nearest_scan(scene: T.Scene, origins, directions, start, count,
     p1 = pad(scene.tri_p1).reshape(-1, TRI_CHUNK, 3)
     e1 = pad(scene.tri_e1).reshape(-1, TRI_CHUNK, 3)
     e2 = pad(scene.tri_e2).reshape(-1, TRI_CHUNK, 3)
+    # padding threshold +inf: padding rows (det==0) must reject
+    deps = jnp.pad(scene.tri_det_eps[sl], (0, n_pad),
+                   constant_values=INF).reshape(-1, TRI_CHUNK)
     bb_min, bb_max = _free_chunk_bbs(scene, start, p1, e1, e2)  # [Ch,3]
     n_chunks = p1.shape[0]
 
@@ -612,7 +630,7 @@ def _tri_free_nearest_scan(scene: T.Scene, origins, directions, start, count,
     )
 
     def body(carry, chunk):
-        cp1, ce1, ce2, cbase, cmin, cmax = chunk
+        cp1, ce1, ce2, cde, cbase, cmin, cmax = chunk
 
         t0 = (cmin[None] - origins) * inv_d            # [R,3]
         t1 = (cmax[None] - origins) * inv_d
@@ -624,7 +642,8 @@ def _tri_free_nearest_scan(scene: T.Scene, origins, directions, start, count,
 
         def run(c):
             bt, bg, bu, bv = c
-            ts, u, v = _tri_moller_trumbore(origins, directions, cp1, ce1, ce2)
+            ts, u, v = _tri_moller_trumbore(
+                origins, directions, cp1, ce1, ce2, det_eps=cde)
             ts = jnp.where(ts > 0.0, ts, INF)  # hit() takes t > 0 strictly
             j = jnp.argmin(ts, -1)
             take = lambda x: jnp.take_along_axis(x, j[:, None], -1)[:, 0]
@@ -642,7 +661,7 @@ def _tri_free_nearest_scan(scene: T.Scene, origins, directions, start, count,
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * TRI_CHUNK
     (bt, bg, bu, bv), _ = jax.lax.scan(
-        body, init, (p1, e1, e2, bases, bb_min, bb_max)
+        body, init, (p1, e1, e2, deps, bases, bb_min, bb_max)
     )
     if t_cap is not None:
         bt = jnp.where(bt < t_cap, bt, INF)
@@ -777,6 +796,7 @@ def shadow_blocked(scene: T.Scene, over, pos, live=None):
             tts, _, _ = _tri_moller_trumbore(
                 flat_o, direction.reshape(-1, 3),
                 scene.tri_p1[:ntc], scene.tri_e1[:ntc], scene.tri_e2[:ntc],
+                det_eps=scene.tri_det_eps[:ntc],
             )
             ts = jnp.concatenate([ts, tts.reshape(r, s, ntc)], -1)
             tri_off = sum(st.counts[:5])

@@ -181,6 +181,14 @@ class Scene:
     # visited, not per byte).
     tri_shade: Any      # f32 [Nt, 13] world-space normals + smooth flag
     tri_tf_id: Any      # i32 [max(Nt,1)] transform row (see inv_tf) per tri
+    # Per-triangle Moller-Trumbore det threshold: EPSILON * |det(A)| of
+    # the triangle's instance transform. The reference tests
+    # |det| < EPSILON in OBJECT space (triangle.rs:96), where det_obj =
+    # det_world / det(A) — a fixed world-space epsilon silently erased
+    # ENTIRE scaled-down mesh instances (dragons-scale triangles have
+    # |e1 x e2| ~ 1e-5 in world space, so every det fell below 1e-4; the
+    # r2-r4 dragons frames contained no mesh pixels at all).
+    tri_det_eps: Any    # f32 [Nt]
     # --- lights -----------------------------------------------------------
     plight_pos: Any     # f32 [Lp, 3]
     plight_intensity: Any  # f32 [Lp, 3]

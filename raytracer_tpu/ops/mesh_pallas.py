@@ -48,20 +48,28 @@ from raytracer_tpu.constants import EPSILON
 #   the current constants remain the optimum by a wide margin.
 #
 # Plane layout is [n_super, SG, N_PLANES*CHUNK]: sublane row = chunk
-# (SG = 8 exactly fills the f32 sublane tile), lanes = the chunk's 9
-# plane rows side by side. The supergroup DMA then moves exactly
-# 9*SG*CHUNK floats (288 KB); the earlier chunk-major [SG*16, CHUNK]
-# layout padded each chunk's 9 plane rows to the 16-sublane f32 tile,
-# spending 78% more HBM traffic — an r3 ablation showed ~60% of kernel
-# time was the DMA/stream side, not the intersection math. (Mosaic
-# rejects slicing a 9-sublane block: sublane slices must align to 8,
+# (SG = 8 exactly fills the f32 sublane tile), lanes = the chunk's 10
+# plane rows side by side (p1/e1/e2 components + the per-triangle det
+# threshold). The supergroup DMA then moves exactly 10*SG*CHUNK floats
+# (320 KB); the earlier chunk-major [SG*16, CHUNK] layout padded each
+# chunk's plane rows to the 16-sublane f32 tile, spending far more HBM
+# traffic — an r3 ablation showed ~60% of kernel time was the
+# DMA/stream side, not the intersection math. (Mosaic rejects slicing a
+# non-multiple-of-8-sublane block: sublane slices must align to 8,
 # which is what forces the chunk axis into sublanes.)
 import os as _os
 _ABLATE = _os.environ.get("RAYTRACER_MESH_ABLATE", "")
+# r5 DMA-compression experiment (VERDICT r4 item 4): store the triangle
+# planes bf16 in HBM and upcast to f32 in-VMEM before Moller-Trumbore,
+# halving the 320 KB supergroup DMA. The MT math stays f32, but the
+# GEOMETRY is rounded to 8 mantissa bits, so renders are NOT bit-parity
+# with the f32 store — opt-in per build via RAYTRACER_MESH_BF16=1 (read
+# at scene-build time in scene/builder.py). Measured verdict in
+# benchmarks/ablate_bf16.py.
 
 RT = 256           # rays per subtile ([RT, CHUNK] f32 planes must fit VMEM)
 CHUNK = 1024       # triangles per chunk
-N_PLANES = 9       # p1.xyz, e1.xyz, e2.xyz
+N_PLANES = 10      # p1.xyz, e1.xyz, e2.xyz, det_eps (per-tri MT threshold)
 SG = 8             # chunks per supergroup (one DMA: N_PLANES*SG*CHUNK*4 B)
 
 
@@ -74,11 +82,16 @@ def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref,
     (argmin + barycentric select) work for callers that never read u/v
     (any-hit shadow queries)."""
     def plane(k):
-        return tri[k * CHUNK : (k + 1) * CHUNK][None, :]
+        row = tri[k * CHUNK : (k + 1) * CHUNK][None, :]
+        return row.astype(jnp.float32)  # no-op for f32 stores
 
     p1x, p1y, p1z = plane(0), plane(1), plane(2)
     e1x, e1y, e1z = plane(3), plane(4), plane(5)
     e2x, e2y, e2z = plane(6), plane(7), plane(8)
+    # per-triangle det threshold = EPSILON * |det(A)| of the instance
+    # transform (the reference's parallel test runs in OBJECT space —
+    # see types.Scene.tri_det_eps); padding rows store +inf
+    det_eps = plane(9)
 
     dx = d_ref[:, 0][:, None]
     dy = d_ref[:, 1][:, None]
@@ -92,7 +105,7 @@ def _mt_merge(o_ref, d_ref, tri, base, t_ref, g_ref, u_ref, v_ref,
     py = dz * e2x - dx * e2z
     pz = dx * e2y - dy * e2x
     det = e1x * px + e1y * py + e1z * pz
-    ok = jnp.abs(det) >= EPSILON
+    ok = jnp.abs(det) >= det_eps
     inv_det = 1.0 / jnp.where(ok, det, 1.0)
 
     sx = ox_ - p1x
@@ -280,7 +293,7 @@ def _kernel(ids_ref, cnt_ref, ent_ref, o_ref, id_ref, d_ref, t0_ref,
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((2, SG, N_PLANES * CHUNK), jnp.float32),
+        scratch=pltpu.VMEM((2, SG, N_PLANES * CHUNK), tri_hbm.dtype),
         sems=pltpu.SemaphoreType.DMA((2,)),
         cnt=pltpu.SMEM((2,), jnp.float32),
     )
@@ -398,14 +411,22 @@ def mesh_nearest(origins, directions, tri_planes, bb, *, t_init=None,
     return t[:, 0], g[:, 0], u[:, 0], v[:, 0]
 
 
-def pack_tri_planes_np(p1, e1, e2):
+def pack_tri_planes_np(p1, e1, e2, det_eps=None, dtype=None):
     """Host-numpy :func:`pack_tri_planes` for scene build time.
 
     The jnp version runs eagerly op-by-op over the device transport —
     ~22 s of a 1M-triangle scene build was pad/transpose round trips.
     Same layout, same values; the builder uploads the result once.
+
+    ``det_eps`` [Nt]: per-triangle MT det threshold (types.Scene
+    .tri_det_eps); None = plain EPSILON (unit-instance callers).
+    Padding rows store +inf so their det==0 can never pass.
+    ``dtype``: plane store dtype (default f32; ml_dtypes.bfloat16 for the
+    half-DMA experiment — AABBs stay f32 either way).
     """
     import numpy as np
+
+    from raytracer_tpu.constants import EPSILON as _EPS
 
     nt = p1.shape[0]
     pad = -nt % (CHUNK * SG)
@@ -419,8 +440,10 @@ def pack_tri_planes_np(p1, e1, e2):
         return out
 
     p1p, e1p, e2p = f(p1), f(e1), f(e2)
+    de = np.full(n_total, np.inf, np.float32)
+    de[:nt] = _EPS if det_eps is None else det_eps
 
-    # [n_super, SG, N_PLANES*CHUNK]: sublane row = chunk, lanes = the 9
+    # [n_super, SG, N_PLANES*CHUNK]: sublane row = chunk, lanes = the 10
     # plane rows side by side (zero-pad-free DMA; see layout note above)
     tri = np.zeros((n_super, SG, N_PLANES * CHUNK), np.float32)
     for k, x in enumerate((p1p, e1p, e2p)):
@@ -429,6 +452,7 @@ def pack_tri_planes_np(p1, e1, e2):
             tri[:, :, r * CHUNK : (r + 1) * CHUNK] = (
                 x[:, comp].reshape(n_super, SG, CHUNK)
             )
+    tri[:, :, 9 * CHUNK : 10 * CHUNK] = de.reshape(n_super, SG, CHUNK)
 
     v0 = p1p.reshape(nc, CHUNK, 3)
     v1 = (p1p + e1p).reshape(nc, CHUNK, 3)
@@ -443,17 +467,21 @@ def pack_tri_planes_np(p1, e1, e2):
     sb_min = bb_min.reshape(n_super, SG, 3).min(axis=1)
     sb_max = bb_max.reshape(n_super, SG, 3).max(axis=1)
     bb_super = np.concatenate([sb_min, sb_max], axis=1).T
+    if dtype is not None and np.dtype(dtype) != np.float32:
+        tri = tri.astype(dtype)
     return tri, (
         np.ascontiguousarray(bb_chunk), np.ascontiguousarray(bb_super)
     )
 
 
-def pack_tri_planes(p1, e1, e2):
+def pack_tri_planes(p1, e1, e2, det_eps=None):
     """[Nt,3] x3 -> (tri_planes [n_super, SG, N_PLANES*CHUNK],
     (bb_chunk [6, n_chunks], bb_super [6, n_super])).
 
-    Padding triangles are degenerate (p1=e1=e2=0 -> det=0 miss); padded
-    chunk/supergroup AABBs are empty (min > max -> never live).
+    ``det_eps`` [Nt]: per-triangle MT det threshold; None = EPSILON.
+    Padding triangles are degenerate (p1=e1=e2=0, threshold +inf ->
+    guaranteed miss); padded chunk/supergroup AABBs are empty
+    (min > max -> never live).
     """
     nt = p1.shape[0]
     pad = -nt % (CHUNK * SG)
@@ -462,13 +490,18 @@ def pack_tri_planes(p1, e1, e2):
     n_total = nt + pad
     nc = n_total // CHUNK
     n_super = nc // SG
+    if det_eps is None:
+        det_eps = jnp.full((nt,), EPSILON, jnp.float32)
+    de = jnp.pad(det_eps.astype(jnp.float32), (0, pad),
+                 constant_values=jnp.inf)
 
     def planes(x):
         # [n_super, SG, 3, CHUNK]: per chunk the 3 component rows
         return x.reshape(n_super, SG, CHUNK, 3).transpose(0, 1, 3, 2)
 
     tri = jnp.concatenate(
-        [planes(p1p), planes(e1p), planes(e2p)], axis=2
+        [planes(p1p), planes(e1p), planes(e2p),
+         de.reshape(n_super, SG, 1, CHUNK)], axis=2
     ).reshape(n_super, SG, N_PLANES * CHUNK)
 
     v0 = p1p.reshape(nc, CHUNK, 3)

@@ -31,7 +31,7 @@ from raytracer_tpu.core.render import color_at
 DERIVED_GEOMETRY = frozenset({
     "inv_tf", "normal_mat",
     "tri_p1", "tri_e1", "tri_e2",
-    "tri_shade",
+    "tri_shade", "tri_det_eps",
     "pat_inv",
     "alight_corner", "alight_uvec", "alight_vvec", "alight_pos",
     # packed copies of the triangle tables (builder.finish)

@@ -13,6 +13,8 @@ csg.rs:26-123 with parity prefix-sums.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 
@@ -20,6 +22,19 @@ from raytracer_tpu.core import types as T
 from raytracer_tpu.scene import specs as S
 
 _DEF_UV = -1
+
+
+def _det_eps(m: np.ndarray) -> float:
+    """Per-instance Moller-Trumbore det threshold (see types.Scene
+    .tri_det_eps): the reference tests |det| < EPSILON in OBJECT space
+    (triangle.rs:96) and det_obj = det_world / det(A) for the instance's
+    linear part A, so the world-space test is |det_world| < EPS*|det A|.
+    Computed in f64 at build; floored away from 0 so a degenerate
+    transform can't turn the test into 'accept det==0'."""
+    from raytracer_tpu.constants import EPSILON
+
+    d = abs(float(np.linalg.det(np.asarray(m, np.float64)[:3, :3])))
+    return max(EPSILON * d, 1e-30)
 
 
 def _morton_keys(w: np.ndarray) -> np.ndarray:
@@ -274,6 +289,7 @@ class _Builder:
             src_ms.append(m)
             batches.append(dict(
                 w=w, n_world=n_world, flat=flat, smooth=smooth,
+                det_eps=np.full(1, _det_eps(m), np.float32),
                 mat_src=r["mat"],
                 pattern_id=np.array([r["pattern_id"]], np.int32),
                 shadow=np.array([r["shadow"]], bool),
@@ -293,6 +309,7 @@ class _Builder:
             src_ms.append(m)
             batches.append(dict(
                 w=w, n_world=n_world, flat=flat, smooth=blk["smooth"],
+                det_eps=np.full(n, _det_eps(m), np.float32),
                 mat_src=blk["mat"],
                 pattern_id=np.full(n, blk["pattern_id"], np.int32),
                 shadow=np.full(n, blk["shadow"], bool),
@@ -303,7 +320,7 @@ class _Builder:
             ))
         if not batches:
             return None
-        keys = ("w", "n_world", "flat", "smooth", "pattern_id",
+        keys = ("w", "n_world", "flat", "smooth", "det_eps", "pattern_id",
                 "shadow", "csg_under", "csg_left", "tf_id")
         out = {k: np.concatenate([b[k] for b in batches]) for k in keys}
         out["src_m"] = np.stack(src_ms)
@@ -425,10 +442,12 @@ class _Builder:
                 axis=1,
             ).astype(np.float32)
             tri_tf_id = tb["tf_id"].astype(np.int32)
+            tri_det_eps = tb["det_eps"].astype(np.float32)
         else:
             tri_p1 = tri_e1 = tri_e2 = np.zeros((0, 3), np.float32)
             tri_shade = np.zeros((0, 13), np.float32)
             tri_tf_id = np.zeros(1, np.int32)
+            tri_det_eps = np.zeros((0,), np.float32)
 
         # lights
         lp = self.point_lights
@@ -543,8 +562,17 @@ class _Builder:
             from raytracer_tpu.ops import mesh_pallas as MP
 
             sl = slice(n_csg_tris, nt)
+            dtype = None
+            if os.environ.get("RAYTRACER_MESH_BF16") == "1":
+                # half-DMA experiment: see mesh_pallas.py — NOT
+                # bit-parity with the f32 store (geometry rounds to 8
+                # mantissa bits); measured in benchmarks/ablate_bf16.py
+                import ml_dtypes
+
+                dtype = ml_dtypes.bfloat16
             mesh_planes, (mesh_bb_chunk, mesh_bb_super) = MP.pack_tri_planes_np(
-                tri_p1[sl], tri_e1[sl], tri_e2[sl]
+                tri_p1[sl], tri_e1[sl], tri_e2[sl], tri_det_eps[sl],
+                dtype=dtype,
             )
 
         return jax.tree.map(dev, T.Scene(
@@ -556,6 +584,7 @@ class _Builder:
             tri_p1=tri_p1, tri_e1=tri_e1, tri_e2=tri_e2,
             tri_shade=tri_shade,
             tri_tf_id=tri_tf_id,
+            tri_det_eps=tri_det_eps,
             plight_pos=plight_pos, plight_intensity=plight_int,
             alight_corner=a_corner, alight_uvec=a_uvec, alight_vvec=a_vvec,
             alight_pos=a_pos, alight_intensity=a_int,

@@ -167,3 +167,41 @@ def test_world_intersect(default_world):
     # world.rs:169-177: 4 hits at 4, 4.5, 5.5, 6
     got = hits(default_world, (0, 0, -5), (0, 0, 1))
     assert np.allclose(got, [4.0, 4.5, 5.5, 6.0])
+
+
+def test_scaled_instance_det_epsilon():
+    """The MT parallel test runs in OBJECT space in the reference
+    (triangle.rs:96): a triangle from a scaled-DOWN instance must still
+    be hit even when its world-space det falls below the fixed EPSILON.
+    (r5 regression: a fixed world-space 1e-4 erased entire dragons-scale
+    meshes — every |e1 x e2| ~ 1e-5.)"""
+    import jax.numpy as jnp
+    from raytracer_tpu import transforms as tf
+    from raytracer_tpu.constants import EPSILON
+
+    # unit triangle scaled down: world |e1 x e2| = 2*s^2 < EPSILON
+    s = 0.005
+    tri = S.Triangle(p1=(0, 1, 0), p2=(-1, 0, 0), p3=(1, 0, 0),
+                     transform=tf.scaling(s, s, s))
+    sc = one(tri)
+    # world-space normal magnitude |e1 x e2| = 2*area = s^2 * 2*area_obj
+    e1 = np.asarray(sc.tri_e1[0]); e2 = np.asarray(sc.tri_e2[0])
+    assert np.linalg.norm(np.cross(e1, e2)) < EPSILON  # would fail old test
+    # per-instance threshold stored: EPSILON * |det(scale)| = 1e-4 * 8e-6
+    assert float(sc.tri_det_eps[0]) < EPSILON
+    np.testing.assert_allclose(float(sc.tri_det_eps[0]), EPSILON * s**3,
+                               rtol=1e-5)
+
+    o = jnp.asarray([(0.0, s * 0.3, -2.0)], jnp.float32)
+    d = jnp.asarray([(0.0, 0.0, 1.0)], jnp.float32)
+    ts, gid, u, v = I.sorted_hits(sc, o, d)
+    has, t, g, uu, vv, slot = I.first_hit(ts, gid, u, v)
+    assert bool(has[0]), "scaled-down triangle must be hit (reference does)"
+    assert abs(float(t[0]) - 2.0) < 1e-3
+
+    # a truly grazing ray (parallel to the triangle plane) still misses
+    d_par = jnp.asarray([(1.0, 0.0, 0.0)], jnp.float32)
+    o_in = jnp.asarray([(-2.0, s * 0.3, 0.0)], jnp.float32)
+    ts2, gid2, u2, v2 = I.sorted_hits(sc, o_in, d_par)
+    has2, *_ = I.first_hit(ts2, gid2, u2, v2)
+    assert not bool(has2[0])

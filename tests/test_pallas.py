@@ -278,3 +278,47 @@ def test_max_mesh_tile_smem_budget():
     assert _max_mesh_tile(10_000_000) == 16384       # 1221 supers
     # the clamp always leaves at least one RT subtile
     assert _max_mesh_tile(10**9) >= RT
+
+
+def test_mesh_nearest_per_triangle_det_eps():
+    """The kernel's 10th plane row carries the per-triangle MT det
+    threshold (types.Scene.tri_det_eps): tiny triangles from a
+    scaled-down instance pass their own threshold and are hit, while an
+    artificially huge threshold rejects the same geometry."""
+    rng = np.random.default_rng(3)
+    nt = 70
+    s = 0.004  # |e1 x e2| ~ 1e-5 << EPSILON
+    p1 = jnp.asarray(rng.uniform(-0.02, 0.02, (nt, 3)), jnp.float32)
+    e1 = jnp.asarray(rng.normal(0, s, (nt, 3)), jnp.float32)
+    e2 = jnp.asarray(rng.normal(0, s, (nt, 3)), jnp.float32)
+    r = RT
+    o = jnp.asarray(
+        rng.uniform(-0.01, 0.01, (r, 3)) + np.array([0, 0, -1.0]),
+        jnp.float32)
+    d = jnp.asarray(np.tile([0.0, 0.0, 1.0], (r, 1)), jnp.float32)
+
+    deps = jnp.full((nt,), 1e-12, jnp.float32)  # EPSILON * |det A|, A tiny
+    tri, bb = pack_tri_planes(p1, e1, e2, deps)
+    t, g, u, v = mesh_nearest(o, d, tri, bb, interpret=True)
+    assert np.isfinite(np.asarray(t)).sum() > 10  # fixed EPSILON found 0
+
+    # same geometry, default (unit-instance) threshold: almost every det
+    # falls below EPSILON (a rare tail triangle can exceed it), and the
+    # kernel agrees with the equally-thresholded oracle exactly
+    tri0, bb0 = pack_tri_planes(p1, e1, e2)
+    t0, *_ = mesh_nearest(o, d, tri0, bb0, interpret=True)
+    n_def = np.isfinite(np.asarray(t0)).sum()
+    assert n_def < np.isfinite(np.asarray(t)).sum() / 4
+    ts0, _, _ = _tri_moller_trumbore(o, d, p1, e1, e2)
+    ts0 = jnp.where(ts0 > 0.0, ts0, jnp.inf)
+    t0_ref = np.asarray(jnp.min(ts0, axis=1))
+    assert (np.isfinite(np.asarray(t0)) == np.isfinite(t0_ref)).all()
+
+    # and the oracle with the same per-triangle threshold agrees exactly
+    ts, uu, vv = _tri_moller_trumbore(o, d, p1, e1, e2, det_eps=deps)
+    ts = jnp.where(ts > 0.0, ts, jnp.inf)
+    j = jnp.argmin(ts, axis=1)
+    t_ref = np.asarray(jnp.take_along_axis(ts, j[:, None], 1)[:, 0])
+    hit = np.isfinite(t_ref)
+    np.testing.assert_allclose(np.asarray(t)[hit], t_ref[hit], rtol=1e-5)
+    assert (np.isfinite(np.asarray(t)) == hit).all()
