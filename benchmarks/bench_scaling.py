@@ -76,15 +76,65 @@ def timed(fn, iters=5):
     return sorted(ts)[len(ts) // 2]
 
 
+# The per-chip production train config (r4 measured grid, train.py:
+# render_loss_and_grad docstring): gradient accumulation over 4
+# microbatches with remat off is the fastest config that fits HBM at the
+# 131k-ray flagship batch — it is what a user would actually run, so the
+# retention headline measures IT, at the production per-device batch.
+PROD_PER_DEV = 1 << 17
+PROD_TRAIN_KW = dict(n_micro=4, remat=False)
+RETENTION_REPEATS = 5
+
+
+def _interleaved_retention(devices, scene, o_full, d_full, train_kw,
+                           per_dev):
+    """Median-of-repeats total-throughput retention (8 dev vs 1 dev),
+    with the 1-dev and 8-dev measurements INTERLEAVED per repeat so a
+    load transient on the shared host hits both sides — r4 measured the
+    two sides minutes apart and shipped a 0.54 'regression' that was
+    sampling noise (r5 study: identical code spans 0.53-0.71)."""
+    setups = {}
+    for n_dev in (1, 8):
+        if n_dev > len(devices):
+            return None, [], {}
+        mesh = make_mesh(devices[:n_dev])
+        n = per_dev * n_dev
+        so, sd, _ = shard_rays(
+            jnp.asarray(o_full[:n]), jnp.asarray(d_full[:n]), mesh)
+        scene_r = replicate_scene(scene, mesh)
+        tgt = jnp.zeros((n, 3))
+        key = jax.random.PRNGKey(0)
+        step = make_sharded_train_step(mesh, lr=1e-2, **train_kw)
+        float(step(scene_r, so, sd, tgt, key)[0])  # compile
+        setups[n_dev] = (step, scene_r, so, sd, tgt, key, n)
+
+    rets, rps_last = [], {}
+    for _ in range(RETENTION_REPEATS):
+        rps = {}
+        for n_dev in (1, 8):
+            step, scene_r, so, sd, tgt, key, n = setups[n_dev]
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(step(scene_r, so, sd, tgt, key)[0])
+                ts.append(time.perf_counter() - t0)
+            rps[n_dev] = n / sorted(ts)[1]
+        rets.append(round(rps[8] / rps[1], 3))
+        rps_last = rps
+    return float(np.median(rets)), rets, {
+        k: round(v, 1) for k, v in rps_last.items()
+    }
+
+
 def main():
-    out_path = "SCALING_r04.json"
+    out_path = "SCALING_r05.json"
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
     devices = jax.devices()
     mode = "tpu" if jax.default_backend() == "tpu" else "cpu_virtual_smoke"
     scene = flagship_scene()
-    cam = Camera(512, 512, math.pi / 3).with_transform(
+    cam = Camera(1024, 1024, math.pi / 3).with_transform(
         tf.view_transform((0, 1.5, -5), (0, 1, 0), (0, 1, 0)))
     o_full, d_full = ray_grid(cam)
     o_full = np.asarray(o_full)
@@ -171,6 +221,13 @@ def main():
             return None
         return round(rows[-1]["rays_per_sec"] / rows[0]["rays_per_sec"], 3)
 
+    # Headline retention: production config at production batch,
+    # interleaved median-of-5 (see _interleaved_retention).
+    ret_prod, ret_prod_reps, rps_prod = _interleaved_retention(
+        devices, scene, o_full, d_full, PROD_TRAIN_KW, PROD_PER_DEV)
+    ret_def, ret_def_reps, _ = _interleaved_retention(
+        devices, scene, o_full, d_full, {}, PER_DEVICE_RAYS)
+
     artifact = dict(
         mode=mode,
         backend=jax.default_backend(),
@@ -181,20 +238,42 @@ def main():
         efficiency_forward=efficiency(rows_fwd),
         efficiency_train=efficiency(rows_train),
         total_throughput_retention_forward=retention(rows_fwd),
-        total_throughput_retention_train=retention(rows_train),
+        # continuity field: same config r02/r04 measured (default train
+        # step at 32k rays/dev), now interleaved median-of-5
+        total_throughput_retention_train=ret_def,
+        retention_train_repeats=ret_def_reps,
+        # stricter: the production per-chip config (its 1-dev baseline
+        # runs ~3x faster, so the ratio is lower at the same absolute
+        # 8-dev throughput — see retention_train_production_rays_per_sec)
+        retention_train_production=ret_prod,
+        retention_train_production_config=dict(
+            per_device_rays=PROD_PER_DEV, **PROD_TRAIN_KW),
+        retention_train_production_repeats=ret_prod_reps,
+        retention_train_production_rays_per_sec=rps_prod,
+        host_cores=os.cpu_count(),
         plain_single_device_forward_s=round(dt_plain_fwd, 4),
         plain_single_device_train_s=round(dt_plain_train, 4),
         sharding_overhead_forward=overhead(rows_fwd, dt_plain_fwd),
         sharding_overhead_train=overhead(rows_train, dt_plain_train),
         note=(
             "cpu_virtual_smoke: the 8 virtual devices SHARE the host's "
-            "physical cores, so per-device weak-scaling efficiency is "
-            "physically capped at n_cores/(n_dev*n_cores) = 1/n_dev here "
-            "(a single device already saturates every core). "
-            "total_throughput_retention_* (sharded total vs single-device "
-            "total) is the machinery-overhead smoke number on this setup; "
-            "run on a pod slice (RAYTRACER_SCALING_TPU=1) for the real "
-            "curve (target >= 0.8 per BASELINE.md)."
+            f"{os.cpu_count()} physical cores (2x oversubscribed), so "
+            "retention measures scheduler/cache contention, not ICI. "
+            "r5 diagnosis of the r02->r04 'regression' (0.732->0.544): "
+            "identical code + config spans 0.53-0.71 run-to-run on this "
+            "host, and the r4 pair was measured minutes apart under "
+            "concurrent load — sampling noise, not machinery (the 65% "
+            "sharded-forward overhead r4 reported reproduces as 1.5% on "
+            "an idle host, see sharding_overhead_forward). The headline "
+            "retention_train keeps r02/r04's config (default train step, "
+            "32k rays/device) with the 1-dev/8-dev pair interleaved per "
+            "repeat, median of 5; retention_train_production measures "
+            "the recommended per-chip config (n_micro=4, remat=False, "
+            "131k rays/device), whose ~3x faster 1-dev baseline lowers "
+            "the ratio at the same absolute 8-dev throughput — absolute "
+            "rays/s is the number that matters there. Run on a pod slice "
+            "(RAYTRACER_SCALING_TPU=1) for the real curve (target >= "
+            "0.8 per BASELINE.md)."
             if mode != "tpu" else "real TPU devices over ICI"
         ),
     )
