@@ -1,4 +1,5 @@
-"""Inverse rendering demo: recover a sphere's color from a target image.
+"""Inverse rendering demo: recover a sphere's color — or its POSE — from
+a target image.
 
 No reference analogue — the whole renderer is one differentiable XLA
 program, so scene parameters optimize by gradient descent against a
@@ -6,6 +7,14 @@ rendered target (SURVEY §7.7).
 
 Run: python examples/inverse_render.py          (64x36 smoke, any backend)
      python examples/inverse_render.py --hd     (1280x720 on one TPU chip)
+     python examples/inverse_render.py --pose [--hd]
+         pose-recovery mode: the sphere starts at a perturbed
+         translation and optax.adam descends the image MSE back to the
+         true position via with_prim_transform (the world->object
+         inverse and normal matrix are recomputed in-trace, so the
+         gradient stays consistent with shading). The signal is the
+         LOCAL shading/shadow derivative — silhouette jumps carry no
+         gradient — which suffices for small pose errors like this one.
 
 The --hd mode optimizes against a full 921,600-ray frame: per-level
 rematerialization (render_loss's default) plus 8-way gradient-accumulation
@@ -39,6 +48,7 @@ def make_scene(color):
 
 
 hd = "--hd" in sys.argv
+pose_mode = "--pose" in sys.argv
 hsize, vsize = (1280, 720) if hd else (64, 36)
 n_micro = 8 if hd else None
 steps = 60 if hd else 120
@@ -46,6 +56,84 @@ steps = 60 if hd else 120
 cam = Camera(hsize, vsize, math.pi / 3).with_transform(
     tf.view_transform((0.0, 1.5, -5.0), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0)))
 origins, directions = (jnp.asarray(a) for a in ray_grid(cam))
+
+
+def pose_recovery():
+    """Recover the sphere's translation from the image loss."""
+    import optax
+    from raytracer_tpu.parallel.train import with_prim_transform
+
+    scene = make_scene((0.9, 0.1, 0.1))
+    gid = scene.static.family_range("sphere")[0]
+    true_t = jnp.asarray([-0.5, 1.0, 0.5])
+
+    # pose mode wants a slightly finer grid than the color smoke: at
+    # 64x36 the depth axis drifts (z's only signal is interior shading —
+    # silhouette and binary-shadow terms carry no gradient), at 96x54 the
+    # recovery is exact (r5 measured: err 2e-4 vs 0.17)
+    p_cam = cam if hd else Camera(96, 54, math.pi / 3).with_transform(
+        tf.view_transform((0.0, 1.5, -5.0), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0)))
+    p_o, p_d = ((origins, directions) if hd
+                else tuple(jnp.asarray(a) for a in ray_grid(p_cam)))
+
+    if hd:
+        from raytracer_tpu.core.render import render
+        target = jnp.asarray(render(scene, p_cam).reshape(-1, 3))
+    else:
+        target = color_at(scene, p_o, p_d)
+
+    def loss_fn(t3):
+        m = jnp.eye(4).at[:3, 3].set(t3)
+        sc = with_prim_transform(scene, gid, m)
+        if n_micro:
+            # gradient-accumulation over ray chunks (720p memory bound)
+            o = p_o.reshape(n_micro, -1, 3)
+            d = p_d.reshape(n_micro, -1, 3)
+            tg = target.reshape(n_micro, -1, 3)
+
+            def body(acc, xs):
+                o_, d_, t_ = xs
+                img = color_at(sc, o_, d_)
+                return acc + jnp.mean((img - t_) ** 2), None
+
+            total, _ = jax.lax.scan(body, jnp.zeros(()), (o, d, tg))
+            return total / n_micro
+        img = color_at(sc, p_o, p_d)
+        return jnp.mean((img - target) ** 2)
+
+    # start from a perturbed pose and descend
+    t3 = true_t + jnp.asarray([0.2, -0.12, 0.1])
+    opt = optax.adam(2e-2)
+    opt_state = opt.init(t3)
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+
+    n_steps = 120 if hd else 200
+    losses = []
+    for step in range(n_steps):
+        loss, g = vg(t3)
+        losses.append(float(loss))
+        updates, opt_state = opt.update(g, opt_state, t3)
+        t3 = optax.apply_updates(t3, updates)
+        if step % (8 if hd else 25) == 0:
+            err = float(jnp.linalg.norm(t3 - true_t))
+            print(f"step {step:3d}  loss {float(loss):.6f}  "
+                  f"pos {np.asarray(t3).round(3)}  err {err:.4f}")
+
+    err = float(jnp.linalg.norm(t3 - true_t))
+    print(f"recovered translation: {np.asarray(t3).round(4)}  "
+          f"(truth {np.asarray(true_t)})  error {err:.4f}")
+    assert err < 0.05, err
+    assert losses[-1] < losses[0] * 0.1, (losses[0], losses[-1])
+    # the loss curve trends down (adam wiggles; compare window means)
+    third = len(losses) // 3
+    assert np.mean(losses[-third:]) < np.mean(losses[:third])
+    print(f"OK pose ({p_cam.hsize}x{p_cam.vsize}; loss {losses[0]:.6f} -> "
+          f"{losses[-1]:.6f} over {n_steps} steps)")
+
+
+if pose_mode:
+    pose_recovery()
+    sys.exit(0)
 
 # ground truth: a red sphere. The target frame renders tile-by-tile (the
 # production forward path) so even the 720p target needs no special care.

@@ -33,3 +33,19 @@ def test_example_renders_ppm(name):
     px = np.array(body[4:], dtype=np.int32)
     assert px.shape == (80 * 45 * 3,)
     assert (px >= 0).all() and (px <= 255).all() and px.max() > 0
+
+
+def test_inverse_render_pose_recovery():
+    """--pose mode (VERDICT r5 item 8): recovers a perturbed sphere
+    translation to <0.05 error with a decreasing loss curve — the
+    example asserts both internally; rc=0 is the contract."""
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "inverse_render.py"),
+         "--pose"],
+        capture_output=True, timeout=1200, env=env, cwd=str(REPO),
+    )
+    assert out.returncode == 0, (
+        out.stdout[-1500:], out.stderr[-1500:])
+    assert b"OK pose" in out.stdout
