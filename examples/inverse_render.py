@@ -59,7 +59,15 @@ origins, directions = (jnp.asarray(a) for a in ray_grid(cam))
 
 
 def pose_recovery():
-    """Recover the sphere's translation from the image loss."""
+    """Recover the sphere's translation from the image loss.
+
+    COARSE-TO-FINE: the depth axis has only interior-shading gradients
+    (silhouette and binary-shadow terms carry none), and descending the
+    full-resolution loss directly lets z drift into a shallow
+    wrong-depth valley (r5 measured: err 0.18 at 720p direct vs 2e-4
+    via coarse-first) — so the pose is recovered on a 96x54 grid first,
+    then polished at full resolution with a smaller step.
+    """
     import optax
     from raytracer_tpu.parallel.train import with_prim_transform
 
@@ -67,59 +75,69 @@ def pose_recovery():
     gid = scene.static.family_range("sphere")[0]
     true_t = jnp.asarray([-0.5, 1.0, 0.5])
 
-    # pose mode wants a slightly finer grid than the color smoke: at
-    # 64x36 the depth axis drifts (z's only signal is interior shading —
-    # silhouette and binary-shadow terms carry no gradient), at 96x54 the
-    # recovery is exact (r5 measured: err 2e-4 vs 0.17)
-    p_cam = cam if hd else Camera(96, 54, math.pi / 3).with_transform(
-        tf.view_transform((0.0, 1.5, -5.0), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0)))
-    p_o, p_d = ((origins, directions) if hd
-                else tuple(jnp.asarray(a) for a in ray_grid(p_cam)))
+    def make_stage(stage_cam, rays, micro, target):
+        s_o, s_d = rays
 
+        def loss_fn(t3):
+            m = jnp.eye(4).at[:3, 3].set(t3)
+            sc = with_prim_transform(scene, gid, m)
+            if micro:
+                # gradient accumulation over ray chunks (720p memory)
+                o = s_o.reshape(micro, -1, 3)
+                d = s_d.reshape(micro, -1, 3)
+                tg = target.reshape(micro, -1, 3)
+
+                def body(acc, xs):
+                    o_, d_, t_ = xs
+                    img = color_at(sc, o_, d_)
+                    return acc + jnp.mean((img - t_) ** 2), None
+
+                total, _ = jax.lax.scan(body, jnp.zeros(()), (o, d, tg))
+                return total / micro
+            img = color_at(sc, s_o, s_d)
+            return jnp.mean((img - target) ** 2)
+
+        return jax.jit(jax.value_and_grad(loss_fn))
+
+    def descend(vg, t3, lr, n_steps, tag, every):
+        opt = optax.adam(lr)
+        opt_state = opt.init(t3)
+        losses = []
+        for step in range(n_steps):
+            loss, g = vg(t3)
+            losses.append(float(loss))
+            updates, opt_state = opt.update(g, opt_state, t3)
+            t3 = optax.apply_updates(t3, updates)
+            if step % every == 0:
+                err = float(jnp.linalg.norm(t3 - true_t))
+                print(f"{tag} step {step:3d}  loss {float(loss):.6f}  "
+                      f"pos {np.asarray(t3).round(3)}  err {err:.4f}")
+        return t3, losses
+
+    # --- coarse stage: 96x54 ---------------------------------------------
+    c_cam = Camera(96, 54, math.pi / 3).with_transform(
+        tf.view_transform((0.0, 1.5, -5.0), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0)))
+    c_rays = tuple(jnp.asarray(a) for a in ray_grid(c_cam))
+    c_target = color_at(scene, *c_rays)
+    vg_c = make_stage(c_cam, c_rays, None, c_target)
+
+    t3 = true_t + jnp.asarray([0.2, -0.12, 0.1])   # perturbed start
+    t3, losses = descend(vg_c, t3, 2e-2, 200, "coarse", 25)
+
+    # --- fine stage (HD): polish at full resolution ----------------------
+    # Tiny lr: adam's update magnitude is ~lr regardless of gradient
+    # scale, so polishing FROM the coarse optimum with lr 3e-3 x 50
+    # random-walked ~0.07 away (r5 measured); 3e-4 x 30 bounds the
+    # worst-case wander at ~0.009 while still correcting real residue.
     if hd:
         from raytracer_tpu.core.render import render
-        target = jnp.asarray(render(scene, p_cam).reshape(-1, 3))
-    else:
-        target = color_at(scene, p_o, p_d)
-
-    def loss_fn(t3):
-        m = jnp.eye(4).at[:3, 3].set(t3)
-        sc = with_prim_transform(scene, gid, m)
-        if n_micro:
-            # gradient-accumulation over ray chunks (720p memory bound)
-            o = p_o.reshape(n_micro, -1, 3)
-            d = p_d.reshape(n_micro, -1, 3)
-            tg = target.reshape(n_micro, -1, 3)
-
-            def body(acc, xs):
-                o_, d_, t_ = xs
-                img = color_at(sc, o_, d_)
-                return acc + jnp.mean((img - t_) ** 2), None
-
-            total, _ = jax.lax.scan(body, jnp.zeros(()), (o, d, tg))
-            return total / n_micro
-        img = color_at(sc, p_o, p_d)
-        return jnp.mean((img - target) ** 2)
-
-    # start from a perturbed pose and descend
-    t3 = true_t + jnp.asarray([0.2, -0.12, 0.1])
-    opt = optax.adam(2e-2)
-    opt_state = opt.init(t3)
-    vg = jax.jit(jax.value_and_grad(loss_fn))
-
-    n_steps = 120 if hd else 200
-    losses = []
-    for step in range(n_steps):
-        loss, g = vg(t3)
-        losses.append(float(loss))
-        updates, opt_state = opt.update(g, opt_state, t3)
-        t3 = optax.apply_updates(t3, updates)
-        if step % (8 if hd else 25) == 0:
-            err = float(jnp.linalg.norm(t3 - true_t))
-            print(f"step {step:3d}  loss {float(loss):.6f}  "
-                  f"pos {np.asarray(t3).round(3)}  err {err:.4f}")
+        f_target = jnp.asarray(render(scene, cam).reshape(-1, 3))
+        vg_f = make_stage(cam, (origins, directions), n_micro, f_target)
+        t3, f_losses = descend(vg_f, t3, 3e-4, 30, "fine", 8)
+        losses += f_losses
 
     err = float(jnp.linalg.norm(t3 - true_t))
+    res = f"{cam.hsize}x{cam.vsize}" if hd else "96x54"
     print(f"recovered translation: {np.asarray(t3).round(4)}  "
           f"(truth {np.asarray(true_t)})  error {err:.4f}")
     assert err < 0.05, err
@@ -127,8 +145,8 @@ def pose_recovery():
     # the loss curve trends down (adam wiggles; compare window means)
     third = len(losses) // 3
     assert np.mean(losses[-third:]) < np.mean(losses[:third])
-    print(f"OK pose ({p_cam.hsize}x{p_cam.vsize}; loss {losses[0]:.6f} -> "
-          f"{losses[-1]:.6f} over {n_steps} steps)")
+    print(f"OK pose ({res}; loss {losses[0]:.6f} -> "
+          f"{losses[-1]:.6f} over {len(losses)} steps)")
 
 
 if pose_mode:
