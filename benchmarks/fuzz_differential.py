@@ -10,8 +10,8 @@ would miss. Knife-edge pixels (a t-comparison flipping between
 backends) are expected — the gate is a per-scene mismatch budget, not
 exactness.
 
-Usage: python benchmarks/fuzz_differential.py [--seeds 12]
-Writes FUZZ_DIFF.json at the repo root when run on a TPU backend.
+Usage: python benchmarks/fuzz_differential.py [--seeds 30]
+Writes FUZZ_DIFF_r05.json at the repo root when run on a TPU backend.
 """
 
 import json
@@ -45,6 +45,35 @@ from raytracer_tpu.scene.builder import build_scene  # noqa: E402
 from test_fuzz import random_shape  # noqa: E402  (the suite's generator)
 
 
+def random_csg_leaf(rng):
+    """A solid CSG leaf (sphere/cube/cylinder — closed solids, the kinds
+    the reference's own CSG sample composes)."""
+    m = S.Material(color=tuple(rng.random(3)), diffuse=0.8,
+                   specular=float(rng.random() * 0.5))
+    t = (tf.translation(*rng.uniform(-1.2, 1.2, 3))
+         @ tf.rotation_y(float(rng.random() * 6.28))
+         @ tf.scaling(*rng.uniform(0.4, 1.3, 3)))
+    kind = rng.integers(0, 3)
+    if kind == 0:
+        return S.Sphere(transform=t, material=m)
+    if kind == 1:
+        return S.Cube(transform=t, material=m)
+    return S.Cylinder(transform=t, material=m, min=-1.0, max=1.0,
+                      closed=True)
+
+
+def random_csg(rng, depth=2):
+    """Nested CSG tree (difference/intersect/union), VERDICT r4 item 5:
+    the parity prefix-sum filter was cross-backend-verified only by the
+    fixed csg.yaml golden before this."""
+    op = ["difference", "intersect", "union"][int(rng.integers(0, 3))]
+    left = (random_csg(rng, depth - 1) if depth > 0 and rng.random() < 0.6
+            else random_csg_leaf(rng))
+    right = (random_csg(rng, depth - 1) if depth > 0 and rng.random() < 0.4
+             else random_csg_leaf(rng))
+    return S.Csg(op=op, left=left, right=right)
+
+
 def random_scene(seed):
     rng = np.random.default_rng(seed)
     items = [S.PointLight(position=tuple(rng.uniform(-10, 10, 3)))]
@@ -56,6 +85,12 @@ def random_scene(seed):
         ))
     for _ in range(int(rng.integers(3, 8))):
         items.append(random_shape(rng))
+    if seed % 2 == 1:
+        # nested CSG trees — on seeds with area lights (seed % 3 == 0)
+        # this also drives apply_csg through the factored [R*S] shadow
+        # path on both backends
+        for _ in range(int(rng.integers(1, 3))):
+            items.append(random_csg(rng))
     if seed % 2 == 0:
         # mesh instances big enough to engage the Pallas kernel on TPU
         # (vs the lax.scan path on CPU) — every other seed transparent,
@@ -85,7 +120,7 @@ def render_local(scene, o, d):
 
 
 def main():
-    n_seeds = 12
+    n_seeds = 30
     if "--seeds" in sys.argv:
         n_seeds = int(sys.argv[sys.argv.index("--seeds") + 1])
 
@@ -99,10 +134,14 @@ def main():
     print(f"this process: {backend}")
 
     cpu_dir = Path("/tmp/fuzz_diff_cpu")
-    if backend != "cpu":
+    have_all = all(
+        (cpu_dir / f"img_{s}.npy").exists() for s in range(1, n_seeds + 1)
+    )
+    if backend != "cpu" and not have_all:
         # CPU images come from a subprocess with JAX_PLATFORMS=cpu — the
         # mesh-path dispatch (Pallas vs lax.scan) keys on the process
-        # backend, so the two lowerings need two processes.
+        # backend, so the two lowerings need two processes. Existing
+        # images are reused so a flaky-tunnel rerun skips the worker.
         import subprocess
 
         env = dict(os.environ, JAX_PLATFORMS="cpu",
@@ -121,7 +160,27 @@ def main():
     worst = 0.0
     for seed in range(1, n_seeds + 1):
         scene = random_scene(seed)
-        a = render_local(scene, o, d)
+        # the remote-TPU tunnel intermittently drops a compile RPC
+        # ("response body closed before all bytes were read") — retry
+        # the seed rather than losing a 45-minute sweep to transport
+        a = None
+        for attempt in range(3):
+            try:
+                a = render_local(scene, o, d)
+                break
+            except Exception as e:
+                if attempt == 2 or "remote_compile" not in str(e):
+                    raise
+                print(f"seed {seed}: transport retry after {e!s:.80}")
+        # every seed is its own jit program (static counts differ):
+        # without dropping caches the CPU worker accumulates one mmap
+        # per live XLA:CPU buffer and dies at vm.max_map_count ~ seed 25
+        # ("LLVM compilation error: Cannot allocate memory") — same
+        # failure mode the suite's conftest fixture handles per module
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
         if out_dir:  # CPU worker: save and continue
             np.save(Path(out_dir) / f"img_{seed}.npy", a)
             continue
@@ -138,11 +197,13 @@ def main():
         print(f"cpu worker wrote {n_seeds} images to {out_dir}")
         return
     if backend != "cpu":
-        (REPO / "FUZZ_DIFF.json").write_text(json.dumps(dict(
-            seeds=n_seeds, resolution="64x48", budget_pct=0.5,
-            worst_mismatch_pct=round(worst * 100, 3), scenes=results,
+        n_csg = sum(1 for s in range(1, n_seeds + 1) if s % 2 == 1)
+        (REPO / "FUZZ_DIFF_r05.json").write_text(json.dumps(dict(
+            seeds=n_seeds, csg_bearing_seeds=n_csg, resolution="64x48",
+            budget_pct=0.5, worst_mismatch_pct=round(worst * 100, 3),
+            scenes=results,
         ), indent=2))
-        print("wrote FUZZ_DIFF.json")
+        print("wrote FUZZ_DIFF_r05.json")
 
 
 if __name__ == "__main__":

@@ -104,6 +104,38 @@ def differential_rows():
     return rows
 
 
+def edge_locality_pct(ref_u8, flip_mask, grad_thresh=12):
+    """Share of FLIP pixels (u8 channel maxdiff > 8 — a genuine
+    rounding-boundary flip, not accumulated sub-quantization wobble)
+    lying within 2 px of a contrast edge of the REFERENCE image
+    (VERDICT r4 item 6: the 'flips sit on edges' claim, measured).
+
+    Edge = absolute luminance gradient > ``grad_thresh`` OR relative
+    gradient > 25% (dark regions: a 27->13 checker boundary is high
+    contrast at tiny absolute gradient). Returns (pct, n_flips) — pct
+    None when no flip pixels exist."""
+    n = int(flip_mask.sum())
+    if n == 0:
+        return None, 0
+    lum = ref_u8.astype(np.float32).mean(-1)
+    gx = np.abs(np.diff(lum, axis=1, prepend=lum[:, :1]))
+    gy = np.abs(np.diff(lum, axis=0, prepend=lum[:1]))
+    grad = np.maximum(gx, gy)
+    edge = (grad > grad_thresh) | (grad / (lum + 8.0) > 0.25)
+
+    def dilate(m):
+        d = m.copy()
+        d[1:] |= m[:-1]
+        d[:-1] |= m[1:]
+        d2 = d.copy()
+        d2[:, 1:] |= d[:, :-1]
+        d2[:, :-1] |= d[:, 1:]
+        return d2
+
+    e2 = dilate(dilate(edge))
+    return round(float(e2[flip_mask].mean() * 100.0), 2), n
+
+
 def cpu_worker():
     out_dir = Path(os.environ["RAYTRACER_SWEEP_OUT"])
     out_dir.mkdir(exist_ok=True)
@@ -125,10 +157,14 @@ def main():
         )
         img, dt, cam = render_scene_u8(name)
         diff = np.abs(img.astype(int) - ref.astype(int)).max(-1)
+        elp, n_flip = edge_locality_pct(ref, diff > 8)
         results[name] = dict(
             exact_pct=round(float((diff == 0).mean()) * 100.0, 3),
             within1_pct=round(float((diff <= 1).mean()) * 100.0, 3),
             maxdiff=int(diff.max()),
+            flip_px=n_flip,
+            subquant_px=int(((diff > 1) & (diff <= 8)).sum()),
+            edge_locality_pct=elp,
             seconds=round(dt, 3),
             resolution=f"{cam.hsize}x{cam.vsize}",
         )
