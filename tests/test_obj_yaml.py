@@ -269,3 +269,53 @@ def test_astronaut_scene_renders():
     img = np.asarray(color_at(scene, origins[rows], directions[rows]))
     assert np.isfinite(img).all()
     assert img.max() > 0.05  # the model is lit, not a black frame
+
+
+def test_obj_group_scale_det_eps():
+    """A scaled OBJ group instance gets the object-space epsilon
+    (EPSILON * |det A|, types.Scene.tri_det_eps) through the full
+    YAML -> OBJ -> scene path, so heavily scaled-down meshes still
+    render (r5 regression: they were entirely invisible)."""
+    import numpy as np
+    from raytracer_tpu.constants import EPSILON
+
+    s = 0.01
+    yaml_src = f"""
+- add: camera
+  width: 8
+  height: 8
+  field-of-view: 1.0
+  from: [0, 0, -3]
+  to: [0, 0, 0]
+  up: [0, 1, 0]
+- add: point-light
+  at: [-10, 10, -10]
+  intensity: [1, 1, 1]
+- add: group
+  obj: teapot_low.obj
+  transform:
+  - [scale, {s}, {s}, {s}]
+"""
+    cam, scene = parse_scene(
+        yaml_src,
+        obj_files=["/root/reference/samples/obj/teapot_low.obj"],
+    )
+    nt = int(scene.static.counts[5])
+    assert nt > 100
+    deps = np.asarray(scene.tri_det_eps)
+    np.testing.assert_allclose(deps, EPSILON * s**3, rtol=1e-4)
+
+    # and the scaled-down mesh is actually hit by an aimed ray
+    import jax.numpy as jnp
+    from raytracer_tpu.core import intersect as I
+
+    p1 = np.asarray(scene.tri_p1[0])
+    e1 = np.asarray(scene.tri_e1[0])
+    e2 = np.asarray(scene.tri_e2[0])
+    c = p1 + e1 / 3 + e2 / 3
+    o0 = np.array([0.0, 0.0, -3.0], np.float32)
+    d0 = c - o0
+    d0 = d0 / np.linalg.norm(d0)
+    has, t, g, u, v = I.nearest_hit(
+        scene, jnp.asarray(o0[None]), jnp.asarray(d0[None]))
+    assert bool(has[0])
