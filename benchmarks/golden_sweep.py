@@ -71,7 +71,16 @@ def render_scene_u8(name):
         (REF / "scenes" / f"{name}.yaml").read_text(), obj_files=OBJS
     )
     t0 = time.perf_counter()
-    img = render(scene, cam, quantize=True)
+    # the remote-TPU tunnel intermittently drops a compile RPC — retry
+    # the scene rather than losing the whole sweep to transport
+    for attempt in range(3):
+        try:
+            img = render(scene, cam, quantize=True)
+            break
+        except Exception as e:
+            if attempt == 2 or "remote_compile" not in str(e):
+                raise
+            print(f"{name}: transport retry after {e!s:.80}")
     return img, time.perf_counter() - t0, cam
 
 
